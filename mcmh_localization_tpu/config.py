@@ -1,0 +1,207 @@
+"""Filter configuration.
+
+The reference stores all parameters on the ROS parameter server, loaded from
+``app/params/amhmcl.yaml`` and read via ~25 ``rospy.get_param`` calls
+(``amcmh_localizer.py:18,27-58``).  Here the whole configuration is one frozen
+(hashable) dataclass so it can close over jit-compiled step functions as a
+static argument: changing a parameter recompiles, which is exactly the XLA
+semantics we want (parameters are compile-time constants folded into kernels).
+
+Mode strings are parsed with the reference's substring convention
+(``amcmh_localizer.py:19-21``): ``use_mh = 'MH' in mode``,
+``use_adaptive = 'AMCL' in mode``, ``asymmetric = 'AMH' in mode``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+MODES = ("MCL", "AMCL", "MHMCL", "MHAMCL", "AMHMCL", "AMHAMCL")
+
+
+def parse_mode(mode: str) -> Tuple[bool, bool, bool]:
+    """Parse a mode string into (use_mh, use_adaptive, asymmetric).
+
+    Reference: amcmh_localizer.py:19-21.
+    """
+    return ("MH" in mode, "AMCL" in mode, "AMH" in mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """All filter parameters. Defaults follow app/params/amhmcl.yaml:20-67."""
+
+    # --- algorithm mode (amcmh_localizer.py:18-21) ---
+    mode: str = "AMHAMCL"
+
+    # --- particle counts (amhmcl.yaml:21,45-46) ---
+    # num_particles is the *initial* count; under adaptive (KLD) modes the
+    # active count varies in [min_particles, max_particles].  All arrays are
+    # statically shaped to max_particles with an active-count mask — the
+    # reference instead reallocates arrays per step (amcmh_localizer.py:520-522).
+    num_particles: int = 1500
+    min_particles: int = 100
+    max_particles: int = 5000
+
+    # --- odometry motion-model noise (amhmcl.yaml:29-32) ---
+    alpha1: float = 0.002  # rotation noise due to rotation
+    alpha2: float = 0.03   # translation noise due to rotation
+    alpha3: float = 0.08   # rotation noise due to translation
+    alpha4: float = 0.002  # translation noise due to translation
+
+    # --- augmented-MCL recovery (amhmcl.yaml:53-54, amcmh_localizer.py:34-35) ---
+    alpha_slow: float = 0.04
+    alpha_fast: float = 0.6
+
+    # --- KLD adaptive sampling (amhmcl.yaml:38-44) ---
+    kld_epsilon: float = 0.03
+    kld_z: float = 2.0
+    kld_bin_size_xy: float = 0.20
+    kld_bin_size_theta: float = 0.1745  # 10 degrees
+    kld_delta: float = 0.99
+
+    # --- likelihood-field sensor model (amhmcl.yaml:63-67) ---
+    sigma_hit: float = 0.3
+    z_hit: float = 0.75
+    z_rand: float = 0.25
+    max_range: float = 5.0
+    step: int = 1  # beam subsampling stride (parallel_utils.py:118)
+
+    # --- initialization (amhmcl.yaml:22, amcmh_localizer.py:50-52) ---
+    initialized: bool = False  # True → Gaussian init around initial_pose
+    initial_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # diag of 3x3 initial covariance (amcmh_localizer.py:51)
+    initial_cov: Tuple[float, float, float] = (0.05, 0.05, 0.1)
+
+    # --- motion proposal validity retries ---
+    # The reference rejection-samples each particle's motion up to 1000 times
+    # until it lands on a free cell (parallel_utils.py:339-361).  We use a
+    # fixed, shape-static number of masked retry rounds; statistically
+    # equivalent fallback-to-old-pose semantics.
+    motion_retries: int = 8
+
+    # --- reference-compatibility quirks (SURVEY.md §7 "Known reference quirks").
+    # Each defaults to the *corrected* behavior; set True to bit-follow the
+    # reference's quirk.
+    # amcmh_localizer.py:429-434 inverts the (rot1,trans,rot2) delta as if it
+    # were (dx,dy,dtheta); the correct inverse is (pi-rot2, trans, -rot1-pi).
+    ref_compat_backward_delta: bool = False
+    # parallel_utils.py:269 guards the asymmetric-MH acceptance with
+    # ``if log_den > 0 else 1.0`` — log_den is ~always <= 0, degenerating to
+    # always-accept.  False → proper MH ratio.
+    ref_compat_assym_guard: bool = False
+
+    # --- numeric/implementation knobs (new; no reference equivalent) ---
+    likelihood_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
+                      # (amcmh_localizer.py:37; note the reference computes
+                      # alpha_*_eff from dt but never uses them, :280-281)
+
+    def __post_init__(self):
+        if self.max_particles < self.num_particles:
+            object.__setattr__(self, "max_particles", self.num_particles)
+        if self.step < 1:
+            raise ValueError("step must be >= 1")
+
+    # -- derived, all static --
+    @property
+    def use_mh(self) -> bool:
+        return parse_mode(self.mode)[0]
+
+    @property
+    def use_adaptive(self) -> bool:
+        return parse_mode(self.mode)[1]
+
+    @property
+    def asymmetric(self) -> bool:
+        return parse_mode(self.mode)[2]
+
+    @property
+    def alpha(self) -> Tuple[float, float, float, float]:
+        return (self.alpha1, self.alpha2, self.alpha3, self.alpha4)
+
+    def with_mode(self, mode: str) -> "FilterConfig":
+        return dataclasses.replace(self, mode=mode)
+
+    def replace(self, **kw) -> "FilterConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "FilterConfig":
+        """Load from a reference-format params YAML (app/params/amhmcl.yaml).
+
+        The YAML is flat key: value; keys map 1:1 onto fields below.  Parsed
+        with a tiny hand-rolled reader so we need no yaml dependency for the
+        exact subset the reference uses.
+        """
+        raw = _parse_flat_yaml(path)
+        mapping = {
+            "localization_mode": "mode",
+            "init_particles": "num_particles",
+            "min_particles": "min_particles",
+            "max_particles": "max_particles",
+            "alpha1": "alpha1",
+            "alpha2": "alpha2",
+            "alpha3": "alpha3",
+            "alpha4": "alpha4",
+            "alpha_slow": "alpha_slow",
+            "alpha_fast": "alpha_fast",
+            "kld_epsilon": "kld_epsilon",
+            "kld_z": "kld_z",
+            "kld_bin_size_xy": "kld_bin_size_xy",
+            "kld_bin_size_theta": "kld_bin_size_theta",
+            "kld_delta": "kld_delta",
+            "sigma_hit": "sigma_hit",
+            "z_hit": "z_hit",
+            "z_rand": "z_rand",
+            "max_range": "max_range",
+            "step": "step",
+            "initialized": "initialized",
+        }
+        kwargs = {}
+        for yaml_key, field in mapping.items():
+            if yaml_key in raw:
+                kwargs[field] = raw[yaml_key]
+        int_fields = {"num_particles", "min_particles", "max_particles", "step"}
+        for f in int_fields:
+            if f in kwargs:
+                kwargs[f] = int(kwargs[f])
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+def _parse_flat_yaml(path: str) -> dict:
+    """Minimal flat `key: value` YAML reader (comments + blank lines ok)."""
+    out: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip(), val.strip()
+            if not val:
+                continue
+            out[key] = _coerce(val)
+    return out
+
+
+def _coerce(val: str):
+    if val.startswith(("'", '"')) and val.endswith(("'", '"')):
+        return val[1:-1]
+    low = val.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    try:
+        if any(c in val for c in ".eE") and not val.lstrip("+-").isdigit():
+            return float(val)
+        return int(val)
+    except ValueError:
+        try:
+            return float(val)
+        except ValueError:
+            return val

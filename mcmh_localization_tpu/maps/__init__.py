@@ -1,0 +1,9 @@
+from mcmh_localization_tpu.maps.grid_map import GridMap, load_map, build_grid_map
+from mcmh_localization_tpu.maps.edt import distance_transform_edt_device
+
+__all__ = [
+    "GridMap",
+    "load_map",
+    "build_grid_map",
+    "distance_transform_edt_device",
+]

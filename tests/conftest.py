@@ -1,0 +1,70 @@
+"""Test configuration: force an 8-virtual-device CPU platform, so multi-chip
+sharding tests run anywhere (SURVEY.md §4).
+
+NOTE on this environment: a sitecustomize hook registers a remote "axon" TPU
+backend in every python process and *overrides* JAX_PLATFORMS via
+``jax.config.update("jax_platforms", "axon,cpu")``.  Setting the env var is
+therefore not enough — we must call ``jax.config.update`` ourselves after
+import.  Running the suite with ``PALLAS_AXON_POOL_IPS=`` (empty) also works
+and skips the remote registration entirely.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def house_occupancy():
+    """Procedural 192x192 'house' trinary occupancy grid: outer walls, two
+    inner walls with door gaps, an unknown border band — a stand-in for the
+    reference's map_house (384x384 @ 0.05 m, app/maps/map_house.yaml)."""
+    h = w = 192
+    occ = np.full((h, w), -1, dtype=np.int8)
+    occ[8:184, 8:184] = 0
+    occ[8, 8:184] = 100
+    occ[183, 8:184] = 100
+    occ[8:184, 8] = 100
+    occ[8:184, 183] = 100
+    # inner wall with a door gap
+    occ[8:100, 96] = 100
+    occ[60:72, 96] = 0
+    occ[130, 40:150] = 100
+    occ[130, 80:95] = 0
+    # a pillar
+    occ[150:160, 150:160] = 100
+    return occ
+
+
+@pytest.fixture(scope="session")
+def house_map(house_occupancy):
+    from mcmh_localization_tpu.maps.grid_map import build_grid_map
+
+    return build_grid_map(
+        house_occupancy, resolution=0.05, origin=(-4.8, -4.8), edt_impl="scipy"
+    )
+
+
+@pytest.fixture(scope="session")
+def default_config():
+    from mcmh_localization_tpu.config import FilterConfig
+
+    return FilterConfig(
+        num_particles=512,
+        max_particles=512,
+        min_particles=64,
+        max_range=5.0,
+    )

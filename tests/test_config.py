@@ -1,0 +1,70 @@
+import os
+
+import pytest
+
+from mcmh_localization_tpu.config import FilterConfig, parse_mode
+
+
+@pytest.mark.parametrize(
+    "mode,expected",
+    [
+        ("MCL", (False, False, False)),
+        ("AMCL", (False, True, False)),
+        ("MHMCL", (True, False, False)),
+        ("MHAMCL", (True, True, False)),
+        ("AMHMCL", (True, False, True)),
+        ("AMHAMCL", (True, True, True)),
+    ],
+)
+def test_parse_mode(mode, expected):
+    # reference substring convention, amcmh_localizer.py:19-21
+    assert parse_mode(mode) == expected
+
+
+def test_config_flags():
+    c = FilterConfig(mode="AMHAMCL")
+    assert c.use_mh and c.use_adaptive and c.asymmetric
+    c2 = c.with_mode("MCL")
+    assert not (c2.use_mh or c2.use_adaptive or c2.asymmetric)
+
+
+def test_config_hashable_static():
+    a = FilterConfig()
+    b = FilterConfig()
+    assert hash(a) == hash(b) and a == b
+    assert a.replace(num_particles=7).num_particles == 7
+
+
+def test_max_particles_clamped():
+    c = FilterConfig(num_particles=6000, max_particles=5000)
+    assert c.max_particles == 6000
+
+
+def test_from_yaml(tmp_path):
+    p = tmp_path / "params.yaml"
+    p.write_text(
+        "localization_mode: \"MHAMCL\"\ninit_particles: 1234\n"
+        "alpha1: 0.01 # comment\nmax_range: 6.0\nstep: 2\ninitialized: False\n"
+    )
+    c = FilterConfig.from_yaml(str(p))
+    assert c.mode == "MHAMCL"
+    assert c.num_particles == 1234
+    assert c.alpha1 == 0.01
+    assert c.max_range == 6.0
+    assert c.step == 2
+    assert c.initialized is False
+
+
+def test_from_reference_yaml_if_present():
+    path = "/root/reference/app/params/amhmcl.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference params not present")
+    c = FilterConfig.from_yaml(path)
+    assert c.mode == "AMHAMCL"
+    assert c.num_particles == 1500
+    assert c.alpha == (0.002, 0.03, 0.08, 0.002)
+    assert c.sigma_hit == 0.3
+    assert c.z_hit == 0.75
+    assert c.max_range == 5.0
+    assert c.kld_bin_size_xy == 0.20
+    assert c.min_particles == 100 and c.max_particles == 5000
