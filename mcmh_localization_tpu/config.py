@@ -90,8 +90,11 @@ class FilterConfig:
     ref_compat_backward_delta: bool = False
     # parallel_utils.py:269 guards the asymmetric-MH acceptance with
     # ``if log_den > 0 else 1.0`` — log_den is ~always <= 0, degenerating to
-    # always-accept.  False → proper MH ratio.
-    ref_compat_assym_guard: bool = False
+    # always-accept.  Default True REPRODUCES that reference behavior (the
+    # shipped AMHMCL/AMHAMCL modes effectively always accept); False applies
+    # the proper MH ratio, which measurably lags during motion because
+    # rejected particles keep their pre-motion pose (see tests/test_filter).
+    ref_compat_assym_guard: bool = True
 
     # --- numeric/implementation knobs (new; no reference equivalent) ---
     likelihood_impl: str = "auto"  # "auto" | "jnp" | "pallas"

@@ -1,0 +1,75 @@
+"""Pose estimation from the weighted particle set.
+
+Replaces ``publish_estimate`` math (amcmh_localizer.py:584-623): weighted
+mean x/y, circular (vector-sum) mean theta, and the weighted 3x3 covariance
+of (x, y, wrapped-theta) residuals, plus the ROS 6x6 flat covariance packing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from mcmh_localization_tpu.utils.angles import normalize_angle_about
+
+
+@struct.dataclass
+class PoseEstimate:
+    mean: jnp.ndarray  # (3,) [x, y, theta]
+    cov: jnp.ndarray   # (3, 3) over (x, y, theta)
+
+
+def estimate_pose(
+    particles: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> PoseEstimate:
+    """Weighted mean + covariance of a (possibly padded) particle set.
+
+    With ``mask``, padded slots are excluded (their weights should already be
+    zero; the mask guards the residual computation as well).
+
+    Matches amcmh_localizer.py:584-597: xy mean is the weighted average,
+    theta is atan2 of weighted sin/cos sums, and the covariance follows
+    numpy's ``cov(..., aweights=w)`` normalization
+    1 / (V1 - V2/V1) with V1 = sum(w), V2 = sum(w^2).
+    """
+    w = jnp.where(mask, weights, 0.0) if mask is not None else weights
+    v1 = jnp.sum(w)
+    wn = w / jnp.maximum(v1, 1e-30)
+
+    mean_xy = jnp.sum(particles[:, :2] * wn[:, None], axis=0)
+    cos_m = jnp.sum(jnp.cos(particles[:, 2]) * wn)
+    sin_m = jnp.sum(jnp.sin(particles[:, 2]) * wn)
+    mean_theta = jnp.arctan2(sin_m, cos_m)
+    mean = jnp.concatenate([mean_xy, mean_theta[None]])
+
+    res = jnp.stack(
+        [
+            particles[:, 0] - mean_xy[0],
+            particles[:, 1] - mean_xy[1],
+            normalize_angle_about(particles[:, 2], mean_theta),
+        ],
+        axis=1,
+    )
+    if mask is not None:
+        res = jnp.where(mask[:, None], res, 0.0)
+    v2 = jnp.sum(wn * wn)
+    denom = jnp.maximum(1.0 - v2, 1e-12)  # (V1 - V2/V1)/V1 with wn normalized
+    cov = (res * wn[:, None]).T @ res / denom
+    return PoseEstimate(mean=mean, cov=cov)
+
+
+def covariance_6x6(cov3: jnp.ndarray) -> jnp.ndarray:
+    """Pack a 3x3 (x, y, theta) covariance into the ROS flat 6x6 layout
+    (x, y, z, rot_x, rot_y, rot_z) used at amcmh_localizer.py:606-620."""
+    flat = jnp.zeros(36, dtype=cov3.dtype)
+    idx = jnp.array([0, 1, 5, 6, 7, 11, 30, 31, 35])
+    vals = jnp.stack(
+        [
+            cov3[0, 0], cov3[0, 1], cov3[0, 2],
+            cov3[1, 0], cov3[1, 1], cov3[1, 2],
+            cov3[2, 0], cov3[2, 1], cov3[2, 2],
+        ]
+    )
+    return flat.at[idx].set(vals)

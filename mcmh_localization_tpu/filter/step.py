@@ -1,0 +1,315 @@
+"""The unified filter step: ONE pure function covering all six modes.
+
+The reference's six mode strings (MCL, AMCL, MHMCL, MHAMCL, AMHMCL, AMHAMCL)
+are three orthogonal booleans (amcmh_localizer.py:19-21); here they select
+static branches at trace time, so each mode jit-compiles to its own fused
+program with zero runtime dispatch.
+
+Step anatomy (mirrors the reference's callback pipeline, SURVEY.md §3.2-3.3):
+  predict  : odometry proposal for every particle      (odom_callback)
+  correct  : score prev+proposed sets, optional MH,
+             augmented-MCL bookkeeping, estimate,
+             KLD-or-systematic resample                (lidar_callback)
+
+``make_run`` wraps the step in ``lax.scan`` so a whole trajectory compiles
+once and runs entirely on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.estimate import PoseEstimate, estimate_pose
+from mcmh_localization_tpu.filter.init import init_gaussian, init_uniform
+from mcmh_localization_tpu.filter.mh import asymmetric_mh, symmetric_mh
+from mcmh_localization_tpu.filter.state import FilterState, make_state
+from mcmh_localization_tpu.models.motion import (
+    invert_delta,
+    motion_density,
+    sample_motion,
+)
+from mcmh_localization_tpu.models.sensor import (
+    likelihood_field_scores,
+    log_likelihood_field,
+)
+from mcmh_localization_tpu.ops.resampling import (
+    effective_sample_size,
+    kld_resample,
+    softmax_weights,
+    systematic_resample_indices,
+)
+
+
+@struct.dataclass
+class StepInfo:
+    """Per-step observability record (JSONL-able); the reference has no
+    equivalent (SURVEY.md §5 metrics note)."""
+
+    estimate: PoseEstimate
+    ess: jnp.ndarray            # effective sample size before resampling
+    accept_rate: jnp.ndarray    # MH acceptance fraction (1.0 in non-MH modes)
+    count: jnp.ndarray          # active particles after resampling
+    p_random: jnp.ndarray       # augmented-MCL injection probability
+    w_slow: jnp.ndarray
+    w_fast: jnp.ndarray
+
+
+def state_size(config: FilterConfig) -> int:
+    """Static particle-array size for a config."""
+    return config.max_particles if config.use_adaptive else config.num_particles
+
+
+# ---------------------------------------------------------------------------
+# predict (odom) step
+# ---------------------------------------------------------------------------
+
+def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterConfig):
+    """Motion proposal (move_particles, amcmh_localizer.py:384-408)."""
+    key, sub = jax.random.split(state.key)
+    proposed = sample_motion(
+        sub, state.particles, delta, config.alpha, grid_map,
+        retries=config.motion_retries,
+    )
+    # keep BOTH sets for MH (amcmh_localizer.py:404-405)
+    return state.replace(
+        prev_particles=state.particles,
+        particles=proposed,
+        delta=delta.astype(jnp.float32),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# correct (scan) step
+# ---------------------------------------------------------------------------
+
+def _transition_probabilities(state: FilterState, config: FilterConfig):
+    """Forward/backward odometry transition densities for asymmetric MH
+    (transition_probability, amcmh_localizer.py:424-439)."""
+    fwd = motion_density(state.prev_particles, state.particles, state.delta, config.alpha)
+    bwd_delta = invert_delta(state.delta, ref_compat=config.ref_compat_backward_delta)
+    bwd = motion_density(state.particles, state.prev_particles, bwd_delta, config.alpha)
+    return fwd, bwd
+
+
+def _resample_systematic(key, state: FilterState, config: FilterConfig):
+    """Non-adaptive path (resample_lvr, amcmh_localizer.py:488-492): LVR to
+    the fixed particle count; weights left untouched like the reference
+    (the next step recomputes them from scratch anyway)."""
+    idx = systematic_resample_indices(key, state.weights, state.n_max, count=state.count)
+    return state.replace(particles=state.particles[idx]), jnp.float32(0.0)
+
+
+def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
+    """Adaptive path (resample_amcl_kld, amcmh_localizer.py:496-527):
+    augmented-MCL random injection + KLD-sized systematic resampling.
+    Deviation from the reference (documented): the new count is the actual
+    size of the combined set (the reference stores the PREVIOUS length,
+    :520-521)."""
+    k_kld, k_rand = jax.random.split(key)
+    n = state.count
+    p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    n_random = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
+    n_resampled = n - n_random
+
+    samples, n_kept = kld_resample(
+        k_kld,
+        state.particles,
+        state.weights,
+        max_samples=state.n_max,
+        min_particles=config.min_particles,
+        bin_size_xy=config.kld_bin_size_xy,
+        bin_size_theta=config.kld_bin_size_theta,
+        epsilon=config.kld_epsilon,
+        z=config.kld_z,
+        count=n_resampled,
+    )
+    n_kept = jnp.minimum(n_kept, n_resampled)
+
+    randoms = init_uniform(k_rand, state.n_max, grid_map)
+    slot = jnp.arange(state.n_max)
+    take_random = slot < n_random
+    kld_idx = jnp.clip(slot - n_random, 0, state.n_max - 1)
+    particles = jnp.where(take_random[:, None], randoms, samples[kld_idx])
+
+    new_count = jnp.clip(
+        n_random + n_kept, config.min_particles, state.n_max
+    ).astype(jnp.int32)
+    mask = slot < new_count
+    weights = jnp.where(mask, 1.0 / new_count.astype(jnp.float32), 0.0)
+    return (
+        state.replace(particles=particles, weights=weights, count=new_count),
+        p_random,
+    )
+
+
+def _correct(
+    state: FilterState,
+    ranges: jnp.ndarray,
+    angles: jnp.ndarray,
+    grid_map,
+    log_field: jnp.ndarray,
+    config: FilterConfig,
+) -> Tuple[FilterState, StepInfo]:
+    """Measurement update (lidar_callback, amcmh_localizer.py:294-338)."""
+    key, k_mh, k_rs = jax.random.split(state.key, 3)
+    mask = state.active_mask
+
+    # -- weights on previous and proposed sets (update_weights, :252-273)
+    score = functools.partial(
+        likelihood_field_scores,
+        ranges=ranges, angles=angles, grid_map=grid_map,
+        config=config, log_field=log_field,
+    )
+    weights_post = softmax_weights(score(state.particles), mask)
+    if config.use_mh:
+        weights_pre = softmax_weights(score(state.prev_particles), mask)
+        if config.asymmetric:
+            fwd, bwd = _transition_probabilities(state, config)
+            particles, weights = asymmetric_mh(
+                k_mh, state.prev_particles, state.particles,
+                weights_post, weights_pre, fwd, bwd,
+                ref_compat_guard=config.ref_compat_assym_guard,
+            )
+        else:
+            particles, weights = symmetric_mh(
+                k_mh, state.prev_particles, state.particles,
+                weights_post, weights_pre,
+            )
+        accept_rate = jnp.sum(
+            jnp.where(mask, jnp.all(particles == state.particles, axis=1), False)
+        ) / jnp.maximum(state.count, 1)
+        state = state.replace(particles=particles)
+    else:
+        weights = weights_post
+        accept_rate = jnp.float32(1.0)
+
+    # -- augmented-MCL bookkeeping (update_acml_weights, :276-286)
+    weights = jnp.where(mask, weights, 0.0)
+    weights = weights / jnp.maximum(jnp.sum(weights), 1e-30)
+    if config.use_adaptive:
+        w_avg = jnp.sum(weights) / jnp.maximum(state.count, 1)  # mean over active
+        state = state.replace(
+            w_slow=state.w_slow + config.alpha_slow * (w_avg - state.w_slow),
+            w_fast=state.w_fast + config.alpha_fast * (w_avg - state.w_fast),
+        )
+    state = state.replace(weights=weights)
+
+    # -- estimate BEFORE resampling (:327)
+    est = estimate_pose(state.particles, state.weights, mask)
+    ess = effective_sample_size(state.weights)
+
+    # -- resample (:329-335)
+    if config.use_adaptive:
+        state, p_random = _resample_kld(k_rs, state, grid_map, config)
+    else:
+        state, p_random = _resample_systematic(k_rs, state, config)
+
+    state = state.replace(key=key)
+    info = StepInfo(
+        estimate=est,
+        ess=ess,
+        accept_rate=accept_rate,
+        count=state.count,
+        p_random=p_random,
+        w_slow=state.w_slow,
+        w_fast=state.w_fast,
+    )
+    return state, info
+
+
+# ---------------------------------------------------------------------------
+# public factories
+# ---------------------------------------------------------------------------
+
+class FilterModel(NamedTuple):
+    """A config + map bound into jitted predict/correct/step/run callables."""
+
+    config: FilterConfig
+    grid_map: object
+    log_field: jnp.ndarray
+    predict: object
+    correct: object
+    step: object
+    run: object
+    init: object
+
+
+def make_step(config: FilterConfig, grid_map):
+    """Build jitted (predict, correct, step) closures for a config + map."""
+    log_field = log_likelihood_field(grid_map, config)
+
+    @jax.jit
+    def predict(state, delta):
+        return _predict(state, delta, grid_map, config)
+
+    @jax.jit
+    def correct(state, ranges, angles):
+        return _correct(state, ranges, angles, grid_map, log_field, config)
+
+    @jax.jit
+    def step(state, ranges, angles, delta):
+        return _correct(
+            _predict(state, delta, grid_map, config),
+            ranges, angles, grid_map, log_field, config,
+        )
+
+    return predict, correct, step, log_field
+
+
+def make_model(config: FilterConfig, grid_map) -> FilterModel:
+    """One-stop construction: init + jitted step functions + scan runner."""
+    predict, correct, step, log_field = make_step(config, grid_map)
+    n_max = state_size(config)
+
+    def init(key, initial_pose=None, initial_cov=None) -> FilterState:
+        """initialize_particles (amcmh_localizer.py:179-197): Gaussian around
+        a given pose when config.initialized, else uniform over free space."""
+        k_init, k_state = jax.random.split(key)
+        n = config.num_particles
+        if config.initialized or initial_pose is not None:
+            mean = jnp.asarray(
+                initial_pose if initial_pose is not None else config.initial_pose
+            )
+            cov = (
+                jnp.diag(jnp.asarray(config.initial_cov, dtype=jnp.float32))
+                if initial_cov is None
+                else jnp.asarray(initial_cov)
+            )
+            particles = init_gaussian(k_init, mean, cov, n, grid_map)
+        else:
+            particles = init_uniform(k_init, n, grid_map)
+        return make_state(particles, n, k_state, n_max)
+
+    @jax.jit
+    def run(state, ranges_seq, angles, deltas):
+        """lax.scan the full trajectory: (T, M) ranges, (M,) angles, (T, 3)
+        deltas -> (final state, stacked StepInfo)."""
+
+        def body(s, inputs):
+            r, d = inputs
+            s, info = step(s, r, angles, d)
+            return s, info
+
+        return jax.lax.scan(body, state, (ranges_seq, deltas))
+
+    return FilterModel(
+        config=config,
+        grid_map=grid_map,
+        log_field=log_field,
+        predict=predict,
+        correct=correct,
+        step=step,
+        run=run,
+        init=init,
+    )
+
+
+def make_run(config: FilterConfig, grid_map):
+    return make_model(config, grid_map).run

@@ -36,6 +36,11 @@ class GridMap:
     distance: jnp.ndarray
     origin: jnp.ndarray
     resolution: jnp.ndarray
+    # (F, 2) float32 world coords of free-cell centers
+    # (amcmh_localizer.py:161-165); used for exact uniform free-space
+    # sampling without the reference's 50x oversample-and-reject
+    # (parallel_utils.py:450-465).
+    free_xy: jnp.ndarray
 
     @property
     def height(self) -> int:
@@ -121,11 +126,22 @@ def build_grid_map(
     occupied = occupancy != 0  # unknown (-1) counts as obstacle (:153)
     if distance is None:
         distance = _compute_edt(occupied, resolution, edt_impl)
+    rows, cols = np.nonzero(occupancy == 0)
+    if rows.size == 0:  # degenerate all-occupied map: keep one dummy cell
+        rows, cols = np.array([0]), np.array([0])
+    free_xy = np.stack(
+        [
+            origin[0] + (cols + 0.5) * resolution,
+            origin[1] + (rows + 0.5) * resolution,
+        ],
+        axis=1,
+    ).astype(np.float32)
     return GridMap(
         occupancy=jnp.asarray(occupancy),
         distance=jnp.asarray(distance, dtype=jnp.float32),
         origin=jnp.asarray(origin[:2], dtype=jnp.float32),
         resolution=jnp.asarray(resolution, dtype=jnp.float32),
+        free_xy=jnp.asarray(free_xy),
     )
 
 

@@ -1,0 +1,173 @@
+"""Resampling primitives, all static-shape and fully on-device.
+
+Replaces the reference's Numba resamplers:
+  * softmax weight conversion:  ``convert_scores`` (amcmh_localizer.py:351-358)
+  * systematic (low-variance):  ``low_variance_resample_numba``
+                                (parallel_utils.py:416-446)
+  * multinomial:                ``parallel_resample_simple``
+                                (parallel_utils.py:467-477)
+  * KLD-adaptive:               ``kld_sampling_amcl`` (parallel_utils.py:529-591)
+
+TPU-first design:
+  * The reference's systematic resampler is a sequential pointer walk; here
+    it is cumsum + sorted-merge searchsorted — O(N log N) of fully parallel
+    work.  The KLD sampler's python ``set`` of occupied bins becomes a
+    sort-based first-occurrence scan, and its data-dependent stopping point
+    becomes a masked argmax over a statically-shaped candidate array:
+    identical statistics, no dynamic shapes (SURVEY.md §7 "KLD under static
+    shapes").
+  * Adaptive particle counts are carried as an explicit ``count`` scalar
+    against padded (N_max, ...) arrays; the reference instead reallocates
+    arrays every step (amcmh_localizer.py:520-522).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Per-sample jitter applied by KLD sampling (parallel_utils.py:552)
+KLD_NOISE_STD = (0.001, 0.001, 0.02)
+
+
+def softmax_weights(scores: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Log-scores -> normalized weights (amcmh_localizer.py:351-358).
+
+    With ``mask``, masked-out entries get weight 0 and the normalization runs
+    over the active set only (used for padded particle arrays).
+    """
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf)
+    w = jnp.exp(scores - jnp.max(scores))
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    return w / jnp.sum(w)
+
+
+def effective_sample_size(weights: jnp.ndarray) -> jnp.ndarray:
+    """ESS = 1 / sum(w^2) for normalized weights (new observability metric)."""
+    return 1.0 / jnp.maximum(jnp.sum(weights * weights), 1e-30)
+
+
+def _normalized_cumsum(weights: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.cumsum(weights)
+    return c / jnp.maximum(c[-1], 1e-30)
+
+
+def _lookup(cum: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Index of the first cumsum entry >= u; sorted-merge form (TPU-friendly
+    vs. per-query binary search)."""
+    return jnp.clip(
+        jnp.searchsorted(cum, u, side="left", method="sort"), 0, cum.shape[0] - 1
+    )
+
+
+def systematic_resample_indices(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    num_out: int,
+    count: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Systematic (stochastic-universal) resampling -> (num_out,) int32.
+
+    Draw positions u_m = (r + m) / M with one shared r ~ U(0, 1/M), walk the
+    normalized cumulative weights (parallel_utils.py:416-446).  With
+    ``count`` (traced scalar M <= num_out), only the first M outputs are
+    meaningful — positions use M as the stride so statistics match a
+    resampler of exactly M draws; the tail repeats the final index.
+    """
+    m = jnp.arange(num_out, dtype=jnp.float32)
+    denom = jnp.float32(num_out) if count is None else count.astype(jnp.float32)
+    r = jax.random.uniform(key, (), minval=0.0, maxval=1.0) / denom
+    u = jnp.minimum(r + m / denom, 1.0 - 1e-7)
+    return _lookup(_normalized_cumsum(weights), u).astype(jnp.int32)
+
+
+def multinomial_resample_indices(
+    key: jax.Array, weights: jnp.ndarray, num_out: int
+) -> jnp.ndarray:
+    """i.i.d. resampling: u_m ~ U(0,1) each (parallel_utils.py:467-477)."""
+    u = jax.random.uniform(key, (num_out,))
+    return _lookup(_normalized_cumsum(weights), u).astype(jnp.int32)
+
+
+def _kld_chi2_bound(k: jnp.ndarray, epsilon: float, z: float) -> jnp.ndarray:
+    """Wilson-Hilferty chi^2 upper-quantile bound / (2 eps) used as the KLD
+    sample-count requirement for k occupied bins (parallel_utils.py:584-585)."""
+    km1 = jnp.maximum(k - 1.0, 1.0)
+    chi2 = km1 * (1.0 - 2.0 / (9.0 * km1) + jnp.sqrt(2.0 / (9.0 * km1)) * z) ** 3
+    return chi2 / (2.0 * epsilon)
+
+
+def _first_occurrence(bx: jnp.ndarray, by: jnp.ndarray, bt: jnp.ndarray) -> jnp.ndarray:
+    """(S,) bool: True where bin (bx, by, bt)[m] does not appear at any
+    index < m.
+
+    Sort-based: stable lexsort by the three int32 bin coords (exact — no
+    hash packing, which would need int64), mark entries whose sorted
+    predecessor differs in any coord, scatter back.  Replaces the
+    reference's python ``set`` (parallel_utils.py:549,578-579) with
+    static-shape parallel work.
+    """
+    s = bx.shape[0]
+    order = jnp.lexsort((bx, by, bt))  # grouping only; key order irrelevant
+    sx, sy, st = bx[order], by[order], bt[order]
+    differs = (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (st[1:] != st[:-1])
+    is_new_sorted = jnp.concatenate([jnp.ones(1, dtype=bool), differs])
+    out = jnp.zeros(s, dtype=bool)
+    return out.at[order].set(is_new_sorted)
+
+
+def kld_resample(
+    key: jax.Array,
+    particles: jnp.ndarray,
+    weights: jnp.ndarray,
+    max_samples: int,
+    min_particles: int,
+    bin_size_xy: float,
+    bin_size_theta: float,
+    epsilon: float,
+    z: float,
+    count: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KLD-adaptive resampling (Fox 2003) with static shapes.
+
+    Mirrors kld_sampling_amcl (parallel_utils.py:529-591): low-variance draws
+    over the weight CDF, per-sample Gaussian jitter, xy/theta binning, and
+    the Wilson-Hilferty stopping rule "stop once the stored sample count
+    exceeds chi2_bound(k)/(2 eps)" with k the number of occupied bins seen so
+    far (including the bin the stopping sample would open).
+
+    Returns (samples (max_samples, 3), n_kept scalar int32): entries at
+    index >= n_kept are drawn but statistically discarded (mask them).
+
+    ``count``: traced number of meaningful output slots to stride over
+    (defaults to max_samples, the reference's N_resampled).
+    """
+    k_idx, k_noise = jax.random.split(key)
+    idx = systematic_resample_indices(k_idx, weights, max_samples, count=count)
+    drawn = particles[idx]  # (S, 3)
+    noise = jax.random.normal(k_noise, drawn.shape, dtype=drawn.dtype) * jnp.asarray(
+        KLD_NOISE_STD, dtype=drawn.dtype
+    )
+    samples = drawn + noise
+
+    # bin ids; int() truncation toward zero like the reference (:573-575)
+    bx = (samples[:, 0] / bin_size_xy).astype(jnp.int32)
+    by = (samples[:, 1] / bin_size_xy).astype(jnp.int32)
+    bt = (samples[:, 2] / bin_size_theta).astype(jnp.int32)
+
+    new_bin = _first_occurrence(bx, by, bt)  # (S,)
+    k_bins = jnp.cumsum(new_bin)  # bins occupied including sample m
+    m = jnp.arange(max_samples)
+    # stopping test evaluated when sample m would open a new bin, with m
+    # samples already stored (reference: `count` samples stored, breaks
+    # before storing)
+    required = _kld_chi2_bound(k_bins.astype(jnp.float32), epsilon, z)
+    stop_here = new_bin & (k_bins > 1) & (m >= min_particles) & (m > required)
+    any_stop = jnp.any(stop_here)
+    first_stop = jnp.argmax(stop_here)  # first True
+    n_kept = jnp.where(any_stop, first_stop, max_samples).astype(jnp.int32)
+    return samples, n_kept

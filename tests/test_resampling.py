@@ -1,0 +1,195 @@
+"""Resampler tests: softmax conversion, unbiasedness, LVR variance, KLD
+bin-count stopping vs a python-set golden implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmh_localization_tpu.ops.resampling import (
+    KLD_NOISE_STD,
+    _first_occurrence,
+    _kld_chi2_bound,
+    effective_sample_size,
+    kld_resample,
+    multinomial_resample_indices,
+    softmax_weights,
+    systematic_resample_indices,
+)
+
+
+def test_softmax_weights_matches_reference_form():
+    scores = jnp.array([-3.0, -1.0, -2.0, -10.0])
+    w = np.asarray(softmax_weights(scores))
+    e = np.exp(np.asarray(scores) - (-1.0))
+    np.testing.assert_allclose(w, e / e.sum(), rtol=1e-6)
+    assert abs(w.sum() - 1.0) < 1e-6
+
+
+def test_softmax_weights_masked():
+    scores = jnp.array([0.0, 5.0, 100.0, 200.0])
+    mask = jnp.array([True, True, False, False])
+    w = np.asarray(softmax_weights(scores, mask))
+    assert w[2] == 0 and w[3] == 0
+    np.testing.assert_allclose(w[:2].sum(), 1.0, atol=1e-6)
+
+
+def test_ess():
+    w = jnp.full(100, 0.01)
+    assert abs(float(effective_sample_size(w)) - 100.0) < 1e-3
+    w2 = jnp.zeros(100).at[0].set(1.0)
+    assert abs(float(effective_sample_size(w2)) - 1.0) < 1e-6
+
+
+def test_systematic_unbiased():
+    # E[count_i] = N * w_i; systematic guarantees floor(N w_i) <= count_i
+    w = jnp.array([0.1, 0.4, 0.2, 0.3])
+    idx = np.asarray(systematic_resample_indices(jax.random.PRNGKey(0), w, 1000))
+    counts = np.bincount(idx, minlength=4) / 1000
+    np.testing.assert_allclose(counts, np.asarray(w), atol=0.002)
+
+
+def test_systematic_with_padded_zero_weights():
+    w = jnp.concatenate([jnp.array([0.5, 0.5]), jnp.zeros(6)])
+    idx = np.asarray(systematic_resample_indices(jax.random.PRNGKey(1), w, 100))
+    assert set(idx.tolist()) <= {0, 1}
+
+
+def test_systematic_count_stride():
+    # with count=M < num_out, the first M draws behave like an M-resampler
+    w = jnp.array([0.25, 0.25, 0.25, 0.25])
+    idx = np.asarray(
+        systematic_resample_indices(
+            jax.random.PRNGKey(2), w, 8, count=jnp.int32(4)
+        )
+    )
+    # exactly one draw per quartile among the first 4
+    assert sorted(idx[:4].tolist()) == [0, 1, 2, 3]
+
+
+def test_multinomial_unbiased():
+    w = jnp.array([0.7, 0.1, 0.2])
+    idx = np.asarray(multinomial_resample_indices(jax.random.PRNGKey(3), w, 20000))
+    counts = np.bincount(idx, minlength=3) / 20000
+    np.testing.assert_allclose(counts, np.asarray(w), atol=0.02)
+
+
+def test_lvr_lower_variance_than_multinomial():
+    w = jnp.asarray(np.random.default_rng(0).dirichlet(np.ones(50)).astype(np.float32))
+    n = 500
+    sys_var, mult_var = [], []
+    for s in range(20):
+        i1 = np.bincount(
+            np.asarray(systematic_resample_indices(jax.random.PRNGKey(s), w, n)),
+            minlength=50,
+        )
+        i2 = np.bincount(
+            np.asarray(multinomial_resample_indices(jax.random.PRNGKey(100 + s), w, n)),
+            minlength=50,
+        )
+        sys_var.append(((i1 / n - np.asarray(w)) ** 2).sum())
+        mult_var.append(((i2 / n - np.asarray(w)) ** 2).sum())
+    assert np.mean(sys_var) < np.mean(mult_var)
+
+
+def test_first_occurrence():
+    bx = jnp.array([5, 3, 5, 7, 3, 3, 9])
+    by = jnp.array([1, 1, 1, 1, 1, 2, 1])
+    bt = jnp.array([0, 0, 0, 0, 0, 0, 0])
+    out = np.asarray(_first_occurrence(bx, by, bt))
+    # (3,1) repeats at idx 4; (3,2) at idx 5 is a NEW bin
+    assert out.tolist() == [True, True, False, True, False, True, True]
+
+
+def _golden_kld_count(samples, bin_xy, bin_t, eps, z, max_samples, min_particles):
+    """Python-set mirror of the reference stopping rule on given jittered
+    samples (parallel_utils.py:556-591)."""
+    bins = set()
+    count = 0
+    while count < max_samples:
+        p = samples[count]
+        b = (int(p[0] / bin_xy), int(p[1] / bin_xy), int(p[2] / bin_t))
+        if b not in bins:
+            bins.add(b)
+            k = len(bins)
+            if k > 1 and count >= min_particles:
+                chi2 = (k - 1) * (1 - 2 / (9 * (k - 1)) + np.sqrt(2 / (9 * (k - 1))) * z) ** 3
+                if count > chi2 / (2 * eps):
+                    break
+        count += 1
+    return count
+
+
+def test_kld_stopping_matches_golden():
+    # a handful of clusters -> small occupied-bin count k -> the chi^2 bound
+    # m > chi2(k)/(2 eps) trips at a data-dependent early stopping point
+    rng = np.random.default_rng(4)
+    n = 400
+    particles = jnp.asarray(
+        rng.normal(scale=[1.0, 1.0, 0.4], size=(n, 3)).astype(np.float32)
+    )
+    weights = jnp.full(n, 1.0 / n)
+    for eps, expect_early in ((0.3, True), (0.5, True), (0.05, False)):
+        samples, n_kept = kld_resample(
+            jax.random.PRNGKey(5), particles, weights,
+            max_samples=n, min_particles=20,
+            bin_size_xy=0.5, bin_size_theta=0.3, epsilon=eps, z=2.0,
+        )
+        golden = _golden_kld_count(
+            np.asarray(samples), 0.5, 0.3, eps, 2.0, n, 20
+        )
+        assert int(n_kept) == golden, (eps, int(n_kept), golden)
+        if expect_early:
+            assert 20 <= int(n_kept) < n
+
+
+def test_kld_spread_runs_to_max():
+    # widely spread particles: k grows ~ with m, bound never trips -> keeps
+    # all max_samples (matches the python-set golden)
+    rng = np.random.default_rng(14)
+    n = 400
+    particles = jnp.asarray(
+        np.stack(
+            [rng.uniform(-5, 5, n), rng.uniform(-5, 5, n), rng.uniform(-3, 3, n)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    weights = jnp.full(n, 1.0 / n)
+    samples, n_kept = kld_resample(
+        jax.random.PRNGKey(15), particles, weights,
+        max_samples=n, min_particles=20,
+        bin_size_xy=0.5, bin_size_theta=0.3, epsilon=0.05, z=2.0,
+    )
+    golden = _golden_kld_count(np.asarray(samples), 0.5, 0.3, 0.05, 2.0, n, 20)
+    assert int(n_kept) == golden == n
+
+
+def test_kld_concentrated_stops_at_min():
+    # all particles in one bin -> k=1 forever -> never triggers the k>1
+    # stopping rule -> runs to max_samples (reference behavior)
+    particles = jnp.tile(jnp.array([[1.0, 1.0, 0.0]]), (200, 1))
+    weights = jnp.full(200, 1.0 / 200)
+    _, n_kept = kld_resample(
+        jax.random.PRNGKey(6), particles, weights,
+        max_samples=200, min_particles=10,
+        bin_size_xy=0.5, bin_size_theta=0.5, epsilon=0.05, z=2.0,
+    )
+    assert int(n_kept) == 200
+
+
+def test_kld_bound_monotone():
+    ks = jnp.array([2.0, 5.0, 20.0, 100.0])
+    b = np.asarray(_kld_chi2_bound(ks, 0.05, 2.0))
+    assert np.all(np.diff(b) > 0)
+
+
+def test_kld_jitter_scale():
+    particles = jnp.tile(jnp.array([[2.0, -1.0, 0.5]]), (5000, 1))
+    weights = jnp.full(5000, 1.0 / 5000)
+    samples, _ = kld_resample(
+        jax.random.PRNGKey(7), particles, weights,
+        max_samples=5000, min_particles=10,
+        bin_size_xy=0.5, bin_size_theta=0.5, epsilon=0.05, z=2.0,
+    )
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.mean(0), [2.0, -1.0, 0.5], atol=0.01)
+    np.testing.assert_allclose(s.std(0), KLD_NOISE_STD, rtol=0.15)
