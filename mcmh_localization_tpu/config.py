@@ -88,6 +88,11 @@ class FilterConfig:
     # amcmh_localizer.py:429-434 inverts the (rot1,trans,rot2) delta as if it
     # were (dx,dy,dtheta); the correct inverse is (pi-rot2, trans, -rot1-pi).
     ref_compat_backward_delta: bool = False
+    # parallel_utils.py:610-613 validates Gaussian-init samples with
+    # ``distance_map < 1.0`` (rejecting poses in OPEN space) and zeroes
+    # rejected samples to (0,0,0).  False (default) keeps free-cell samples
+    # and collapses invalid ones onto the requested mean instead.
+    ref_compat_gaussian_init: bool = False
     # parallel_utils.py:269 guards the asymmetric-MH acceptance with
     # ``if log_den > 0 else 1.0`` — log_den is ~always <= 0, degenerating to
     # always-accept.  Default True REPRODUCES that reference behavior (the

@@ -1,0 +1,202 @@
+"""Experiment drivers + CLI — the replacement for the reference's shell
+harness (run_all_modes.sh, run_particle_sweep.sh) and roslaunch pipeline
+(test_algs.launch).
+
+Where the reference spawns a roslaunch per {bag x mode x repeat} with a
+watchdog (run_all_modes.sh:51-76), here each run is one jit-compiled
+``lax.scan`` over the whole trajectory — the sweep loops are plain python
+around on-device runs, with compilation shared across repeats.
+
+CLI:
+  python -m mcmh_localization_tpu.eval.runner single --mode AMHAMCL ...
+  python -m mcmh_localization_tpu.eval.runner all-modes [--repeats 10] ...
+  python -m mcmh_localization_tpu.eval.runner particle-sweep ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from mcmh_localization_tpu.config import MODES, FilterConfig
+from mcmh_localization_tpu.eval.evaluator import evaluate_run, save_results
+from mcmh_localization_tpu.filter.step import make_model
+from mcmh_localization_tpu.maps.grid_map import load_map
+from mcmh_localization_tpu.sim.bag import load_bag, save_bag
+from mcmh_localization_tpu.sim.simulator import Bag, odometry_deltas, simulate_bag
+from mcmh_localization_tpu.sim.trajectory import SCENARIOS, fit_trajectory_to_map
+
+# Matches the reference's sweep grids (run_particle_sweep.sh:8-9,13)
+SWEEP_PARTICLE_COUNTS = (250, 500, 1000, 2000, 4000)
+SWEEP_MODES = ("MCL", "MHMCL", "AMCL", "MHAMCL")
+
+DEFAULT_MAP = "/root/reference/app/maps/map_house.yaml"
+
+
+def run_filter_on_bag(bag: Bag, config: FilterConfig, grid_map, key):
+    """One full localization run; returns (est (T,3), infos, wall_seconds)."""
+    model = make_model(config, grid_map)
+    state = model.init(key)
+    deltas = odometry_deltas(bag.odom)
+    t0 = time.perf_counter()
+    state, infos = model.run(
+        state,
+        np.asarray(bag.ranges),
+        np.asarray(bag.angles),
+        deltas,
+    )
+    est = np.asarray(infos.estimate.mean)
+    wall = time.perf_counter() - t0
+    return est, infos, wall
+
+
+def _get_bag(args, scenario: str, key) -> Bag:
+    if args.bag:
+        return load_bag(args.bag)
+    grid_map = load_map(args.map)
+    gt = SCENARIOS[scenario](duration=args.duration, rate=args.rate)
+    gt = fit_trajectory_to_map(grid_map, gt, min_clearance=args.clearance)
+    return simulate_bag(
+        key, grid_map, gt,
+        n_beams=args.beams, max_range=args.max_range, rate=args.rate,
+        range_noise=args.range_noise, name=scenario,
+    )
+
+
+def _base_config(args) -> FilterConfig:
+    if args.params and os.path.exists(args.params):
+        cfg = FilterConfig.from_yaml(args.params)
+    else:
+        cfg = FilterConfig()
+    return cfg.replace(max_range=args.max_range)
+
+
+def _with_init(cfg: FilterConfig, args, bag: Bag) -> FilterConfig:
+    """--initialized mirrors initial_pose_pub.py feeding /initial_pose: the
+    filter gets a Gaussian init around the run's start pose."""
+    if not args.initialized:
+        return cfg.replace(initialized=False)
+    return cfg.replace(initialized=True, initial_pose=tuple(float(v) for v in bag.gt[0]))
+
+
+def cmd_single(args):
+    grid_map = load_map(args.map)
+    key = jax.random.PRNGKey(args.seed)
+    k_bag, k_run = jax.random.split(key)
+    bag = _get_bag(args, args.scenario, k_bag)
+    cfg = _base_config(args).replace(
+        mode=args.mode,
+        num_particles=args.particles,
+    )
+    cfg = _with_init(cfg, args, bag)
+    est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, k_run)
+    result = evaluate_run(bag.times, est, bag.gt)
+    name = args.result_name or f"{args.scenario}_{args.mode}_run0"
+    path = save_results(result, name, args.results_dir)
+    print(
+        f"{name}: RMSE {result.rmse:.4f} m | {len(bag.times)} scans in "
+        f"{wall:.2f}s ({1e3 * wall / len(bag.times):.2f} ms/scan) -> {path}"
+    )
+    return result
+
+
+def cmd_all_modes(args):
+    """bag x mode x repeat sweep (run_all_modes.sh:51-76)."""
+    grid_map = load_map(args.map)
+    scenarios = args.scenarios.split(",")
+    for scenario in scenarios:
+        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed))
+        if args.save_bags:
+            save_bag(os.path.join(args.results_dir, f"bag_{scenario}.npz"), bag)
+        for mode in MODES:
+            cfg = _base_config(args).replace(
+                mode=mode,
+                num_particles=args.particles,
+            )
+            cfg = _with_init(cfg, args, bag)
+            for rep in range(args.repeats):
+                key = jax.random.PRNGKey(args.seed + 1000 * rep + hash(mode) % 997)
+                est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, key)
+                result = evaluate_run(bag.times, est, bag.gt)
+                name = f"{scenario}_{mode}_run{rep}"
+                save_results(result, name, args.results_dir)
+                print(f"{name}: RMSE {result.rmse:.4f} ({wall:.2f}s)")
+
+
+def cmd_particle_sweep(args):
+    """particle-count sweep (run_particle_sweep.sh:44-70): counts x 4 modes
+    x repeats with max_particles=2P, min_particles=P/10."""
+    grid_map = load_map(args.map)
+    scenarios = args.scenarios.split(",")
+    for scenario in scenarios:
+        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed))
+        for p in SWEEP_PARTICLE_COUNTS:
+            for mode in SWEEP_MODES:
+                cfg = _base_config(args).replace(
+                    mode=mode,
+                    num_particles=p,
+                    max_particles=2 * p,
+                    min_particles=max(p // 10, 1),
+                )
+                cfg = _with_init(cfg, args, bag)
+                for rep in range(args.repeats):
+                    key = jax.random.PRNGKey(args.seed + 7919 * rep + p)
+                    est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, key)
+                    result = evaluate_run(bag.times, est, bag.gt)
+                    name = f"{scenario}_{mode}_{p}p_run{rep}"
+                    save_results(result, name, args.results_dir)
+                    print(f"{name}: RMSE {result.rmse:.4f} ({wall:.2f}s)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="mcmh-eval", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--map", default=DEFAULT_MAP)
+        sp.add_argument("--params", default="/root/reference/app/params/amhmcl.yaml")
+        sp.add_argument("--results-dir", default="results")
+        sp.add_argument("--bag", default=None, help="replay a recorded .npz bag")
+        sp.add_argument("--duration", type=float, default=30.0)
+        sp.add_argument("--rate", type=float, default=5.0)
+        sp.add_argument("--beams", type=int, default=360)
+        sp.add_argument("--max-range", type=float, default=5.0)
+        sp.add_argument("--range-noise", type=float, default=0.01)
+        sp.add_argument("--clearance", type=float, default=0.2,
+                        help="min obstacle clearance when placing scenarios")
+        sp.add_argument("--particles", type=int, default=1500)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--initialized", action="store_true")
+        sp.add_argument("--repeats", type=int, default=1)
+
+    s = sub.add_parser("single", help="one bag x one mode")
+    common(s)
+    s.add_argument("--mode", default="AMHAMCL", choices=MODES)
+    s.add_argument("--scenario", default="square", choices=sorted(SCENARIOS))
+    s.add_argument("--result-name", default=None)
+    s.set_defaults(fn=cmd_single)
+
+    a = sub.add_parser("all-modes", help="all 6 modes x scenarios x repeats")
+    common(a)
+    a.add_argument("--scenarios", default="static,straight_line_spin,square,L_rest")
+    a.add_argument("--save-bags", action="store_true")
+    a.set_defaults(fn=cmd_all_modes)
+
+    w = sub.add_parser("particle-sweep", help="particle-count sweep")
+    common(w)
+    w.add_argument("--scenarios", default="square")
+    w.set_defaults(fn=cmd_particle_sweep)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

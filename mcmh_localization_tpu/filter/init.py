@@ -38,30 +38,36 @@ def init_gaussian(
     cov: jnp.ndarray,
     n: int,
     grid_map,
-    clearance: float = 1.0,
-    invalid_to_zero: bool = True,
+    ref_compat: bool = False,
 ) -> jnp.ndarray:
     """(n, 3) poses ~ N(mean, cov), validated against the map.
 
-    Matches initialize_gaussian_parallel + validate_samples
-    (parallel_utils.py:594-615): a sample is kept iff its cell is in-bounds
-    and the distance field there is < ``clearance`` (the reference's
-    ``distance_map[my, mx] < 1.0`` test — note this asks the pose to be
-    *near* structure, a reference quirk).  Invalid samples become (0, 0, 0)
-    when ``invalid_to_zero`` (reference behavior, :613); otherwise they are
-    replaced by redrawn uniform free-space poses (corrected behavior).
+    Replaces initialize_gaussian_parallel + validate_samples
+    (parallel_utils.py:594-615).
+
+    ``ref_compat=True`` reproduces the reference exactly: a sample is kept
+    iff in-bounds AND the distance field there is < 1.0 m — i.e. poses in
+    open space (>1 m from any obstacle) are REJECTED and zeroed to
+    (0, 0, 0), which mis-initializes the filter whenever the start pose is
+    in the open (a reference quirk, :610-613).
+
+    Default (corrected): a sample is kept iff its cell is free; invalid
+    samples collapse to the mean pose, keeping the init mass where it was
+    requested.
     """
-    k_n, k_u = jax.random.split(key)
+    k_n, _ = jax.random.split(key)
+    mean = jnp.asarray(mean, dtype=jnp.float32)
     chol = jnp.linalg.cholesky(jnp.asarray(cov, dtype=jnp.float32))
     eps = jax.random.normal(k_n, (n, 3), dtype=jnp.float32)
-    samples = jnp.asarray(mean, dtype=jnp.float32)[None, :] + eps @ chol.T
+    samples = mean[None, :] + eps @ chol.T
 
     mx, my = grid_map.world_to_grid(samples[:, 0], samples[:, 1])
-    ok = grid_map.in_bounds(mx, my) & (
-        grid_map.distance_at(mx, my, fill=jnp.inf) < clearance
-    )
-    if invalid_to_zero:
+    if ref_compat:
+        ok = grid_map.in_bounds(mx, my) & (
+            grid_map.distance_at(mx, my, fill=jnp.inf) < 1.0
+        )
         fallback = jnp.zeros_like(samples)
     else:
-        fallback = init_uniform(k_u, n, grid_map)
+        ok = grid_map.occupancy_at(mx, my) == 0
+        fallback = jnp.broadcast_to(mean, samples.shape)
     return jnp.where(ok[:, None], samples, fallback)

@@ -282,7 +282,10 @@ def make_model(config: FilterConfig, grid_map) -> FilterModel:
                 if initial_cov is None
                 else jnp.asarray(initial_cov)
             )
-            particles = init_gaussian(k_init, mean, cov, n, grid_map)
+            particles = init_gaussian(
+                k_init, mean, cov, n, grid_map,
+                ref_compat=config.ref_compat_gaussian_init,
+            )
         else:
             particles = init_uniform(k_init, n, grid_map)
         return make_state(particles, n, k_state, n_max)

@@ -1,0 +1,21 @@
+from mcmh_localization_tpu.sim.trajectory import (
+    static_trajectory,
+    straight_line_spin_trajectory,
+    square_trajectory,
+    l_rest_trajectory,
+    SCENARIOS,
+)
+from mcmh_localization_tpu.sim.simulator import simulate_bag, Bag
+from mcmh_localization_tpu.sim.bag import save_bag, load_bag
+
+__all__ = [
+    "static_trajectory",
+    "straight_line_spin_trajectory",
+    "square_trajectory",
+    "l_rest_trajectory",
+    "SCENARIOS",
+    "simulate_bag",
+    "Bag",
+    "save_bag",
+    "load_bag",
+]

@@ -1,0 +1,144 @@
+"""Simulator, bag persistence, evaluator-format, and plotting tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.eval.evaluator import (
+    evaluate_run,
+    parse_poses_file,
+    parse_results_file,
+    save_results,
+)
+from mcmh_localization_tpu.eval.runner import run_filter_on_bag
+from mcmh_localization_tpu.sim.bag import load_bag, save_bag
+from mcmh_localization_tpu.sim.simulator import odometry_deltas, simulate_bag
+from mcmh_localization_tpu.sim.trajectory import SCENARIOS
+
+
+def test_trajectories_shapes_and_wrap():
+    for name, gen in SCENARIOS.items():
+        poses = gen(duration=10.0, rate=5.0)
+        assert poses.shape[1] == 3
+        assert len(poses) >= 50
+        assert (np.abs(poses[:, 2]) <= np.pi + 1e-6).all(), name
+
+
+def test_static_trajectory_is_static():
+    poses = SCENARIOS["static"](duration=5.0, rate=5.0)
+    assert np.allclose(poses, poses[0])
+
+
+@pytest.fixture(scope="module")
+def small_bag(house_map):
+    gt = SCENARIOS["square"](duration=10.0, rate=5.0)
+    return simulate_bag(
+        jax.random.PRNGKey(0), house_map, gt,
+        n_beams=90, max_range=5.0, range_noise=0.01, name="square",
+    )
+
+
+def test_simulate_bag_shapes(small_bag):
+    t, m = small_bag.ranges.shape
+    assert m == 90
+    assert small_bag.odom.shape == (t, 3)
+    assert small_bag.gt.shape == (t, 3)
+    assert small_bag.times.shape == (t,)
+    assert np.all(small_bag.ranges <= 5.0 + 1e-5)
+    assert np.all(small_bag.ranges > 0)
+
+
+def test_odometry_drifts_but_tracks(small_bag):
+    err = np.hypot(*(small_bag.odom[:, :2] - small_bag.gt[:, :2]).T)
+    assert err[0] == 0
+    assert err.max() < 0.5  # drifty but sane
+    assert err[-1] > 0  # noise actually applied
+
+
+def test_odometry_deltas_first_zero(small_bag):
+    d = odometry_deltas(small_bag.odom)
+    assert d.shape == (len(small_bag.times), 3)
+    assert np.all(d[0] == 0)
+
+
+def test_bag_roundtrip(tmp_path, small_bag):
+    path = str(tmp_path / "bag.npz")
+    save_bag(path, small_bag)
+    back = load_bag(path)
+    np.testing.assert_array_equal(back.ranges, small_bag.ranges)
+    np.testing.assert_array_equal(back.odom, small_bag.odom)
+    np.testing.assert_array_equal(back.gt, small_bag.gt)
+    assert back.max_range == small_bag.max_range
+    assert back.meta["name"] == "square"
+
+
+def test_full_run_on_bag(house_map, small_bag):
+    cfg = FilterConfig(
+        mode="MHAMCL", num_particles=300, min_particles=50, max_particles=400,
+        initialized=True, initial_pose=tuple(small_bag.gt[0]), max_range=5.0,
+    )
+    est, infos, wall = run_filter_on_bag(
+        small_bag, cfg, house_map, jax.random.PRNGKey(1)
+    )
+    result = evaluate_run(small_bag.times, est, small_bag.gt)
+    assert result.rmse < 0.5
+    assert len(result.errors) == len(small_bag.times)
+
+
+def test_results_file_format(tmp_path):
+    times = np.array([0.0, 0.2, 0.4])
+    est = np.array([[0, 0, 0], [1, 1, 0.5], [2, 2, 1.0]], dtype=float)
+    gt = est + 0.1
+    r = evaluate_run(times, est, gt)
+    path = save_results(r, "square_MCL_run0", str(tmp_path))
+    text = open(path).read()
+    # byte-format parity with evaluate_localization.py:120-125
+    assert text.startswith("time,error\n")
+    assert f"\nRMSE final: {r.rmse:.4f}\n" in text
+    lines = text.splitlines()
+    assert lines[1] == "0.000,0.1414"
+    # poses file
+    t2, est2, gt2 = parse_poses_file(str(tmp_path / "poses_square_MCL_run0.txt"))
+    np.testing.assert_allclose(est2, est, atol=1e-4)
+    np.testing.assert_allclose(gt2, gt, atol=1e-4)
+    # summary append-log
+    summary = open(tmp_path / "summary_results.txt").read()
+    assert summary == f"square_MCL_run0.txt,{r.rmse:.4f}\n"
+    # roundtrip
+    t3, e3, rmse3 = parse_results_file(path)
+    np.testing.assert_allclose(e3, r.errors, atol=1e-4)
+    assert abs(rmse3 - r.rmse) < 1e-4
+
+
+def test_plots_report(tmp_path):
+    # synthesize a few result files following the naming conventions
+    rng = np.random.default_rng(0)
+    times = np.arange(20) * 0.2
+    for algo in ("MCL", "AMHAMCL"):
+        for run in range(2):
+            est = np.cumsum(rng.normal(0, 0.05, size=(20, 3)), axis=0)
+            gt = est + rng.normal(0, 0.05, size=(20, 3))
+            r = evaluate_run(times, est, gt)
+            save_results(r, f"square_{algo}_run{run}", str(tmp_path))
+            save_results(r, f"square_{algo}_{250 * (run + 1)}p_run0", str(tmp_path))
+    from mcmh_localization_tpu.eval.plots import (
+        collect_runs,
+        collect_sweep,
+        plot_rmse_report,
+        plot_sweep_report,
+    )
+
+    runs = collect_runs(str(tmp_path))
+    assert set(runs) == {("square", "MCL"), ("square", "AMHAMCL")}
+    assert all(len(v) == 2 for v in runs.values())
+    sweep = collect_sweep(str(tmp_path))
+    assert ("square", "MCL", 250) in sweep and ("square", "AMHAMCL", 500) in sweep
+
+    html = plot_rmse_report(str(tmp_path))
+    assert os.path.exists(html)
+    assert os.path.exists(tmp_path / "plots" / "square_error_vs_time.png")
+    html2 = plot_sweep_report(str(tmp_path))
+    assert os.path.exists(html2)
