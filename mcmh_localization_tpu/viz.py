@@ -1,0 +1,141 @@
+"""Visualization + TF-frame parity utilities.
+
+Replaces the reference's RViz-facing layer with library equivalents:
+  * ``particle_markers``     — weight-colored particle arrow data, the
+    MarkerArray analogue (publish_particles, amcmh_localizer.py:538-581)
+  * ``plot_particles``       — matplotlib rendering standing in for RViz
+  * ``map_to_odom_transform``— the map->odom re-anchoring transform math
+    (pose_broadcaster.py:43-86)
+  * ``latched_initial_pose`` — the /initial_pose message content
+    (initial_pose_pub.py:25-49)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+from mcmh_localization_tpu.utils.angles import normalize_angle
+
+
+class ParticleMarkers(NamedTuple):
+    """Render-ready particle glyphs (the MarkerArray analogue)."""
+
+    positions: np.ndarray   # (K, 2)
+    yaws: np.ndarray        # (K,)
+    colors: np.ndarray      # (K, 3) rgb; r=weight, b=1-weight like :567-569
+    quaternions: np.ndarray  # (K, 4) xyzw planar
+
+
+def particle_markers(particles, weights, grid_map=None, count=None) -> ParticleMarkers:
+    """Weight-colored particle glyphs, invalid-pose filtered.
+
+    Mirrors publish_particles (amcmh_localizer.py:538-581): weights min-max
+    normalized (:546), color red=high/blue=low, particles on non-free cells
+    skipped (:552).
+    """
+    particles = np.asarray(particles)
+    weights = np.asarray(weights)
+    if count is not None:
+        particles = particles[: int(count)]
+        weights = weights[: int(count)]
+    w = (weights - weights.min()) / (weights.max() - weights.min() + 1e-6)
+    if grid_map is not None:
+        import jax.numpy as jnp
+
+        valid = np.asarray(grid_map.valid_mask(jnp.asarray(particles)))
+    else:
+        valid = np.ones(len(particles), dtype=bool)
+    p = particles[valid]
+    w = w[valid]
+    yaw = p[:, 2]
+    quat = np.stack(
+        [np.zeros_like(yaw), np.zeros_like(yaw), np.sin(yaw / 2), np.cos(yaw / 2)],
+        axis=1,
+    )
+    colors = np.stack([w, np.zeros_like(w), 1.0 - w], axis=1)
+    return ParticleMarkers(p[:, :2], yaw, colors, quat)
+
+
+def plot_particles(grid_map, particles, weights, estimate=None, count=None,
+                   path=None, ax=None):
+    """Matplotlib stand-in for the RViz particle view."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    markers = particle_markers(particles, weights, grid_map, count)
+    occ = np.asarray(grid_map.occupancy)
+    origin = np.asarray(grid_map.origin)
+    res = float(grid_map.resolution)
+    extent = [origin[0], origin[0] + occ.shape[1] * res,
+              origin[1], origin[1] + occ.shape[0] * res]
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(7, 7))
+    img = np.where(occ == 0, 1.0, np.where(occ > 0, 0.0, 0.5))
+    ax.imshow(img, cmap="gray", origin="lower", extent=extent)
+    ax.quiver(
+        markers.positions[:, 0], markers.positions[:, 1],
+        np.cos(markers.yaws), np.sin(markers.yaws),
+        color=markers.colors, scale=40, width=2.5e-3, alpha=0.8,
+    )
+    if estimate is not None:
+        est = np.asarray(estimate)
+        ax.plot(est[0], est[1], "g*", markersize=15, label="estimate")
+        ax.legend()
+    ax.set_aspect("equal")
+    if path and own_fig:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return ax
+
+
+def _pose_to_matrix(x, y, yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0, x], [s, c, 0, y], [0, 0, 1, 0], [0, 0, 0, 1]])
+
+
+def map_to_odom_transform(
+    estimated_pose: Tuple[float, float, float],
+    odom_to_base: Tuple[float, float, float],
+):
+    """T_map_odom = T_map_base . inv(T_odom_base), quaternion w forced >= 0.
+
+    The planar equivalent of compute_map_to_odom_tf
+    (pose_broadcaster.py:43-86): re-anchors the odometry frame so that
+    composing map->odom->base reproduces the estimated pose.
+    Returns (translation (3,), quaternion xyzw (4,)).
+    """
+    t_map_base = _pose_to_matrix(*estimated_pose)
+    t_odom_base = _pose_to_matrix(*odom_to_base)
+    t_map_odom = t_map_base @ np.linalg.inv(t_odom_base)
+    yaw = np.arctan2(t_map_odom[1, 0], t_map_odom[0, 0])
+    quat = np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
+    quat /= np.linalg.norm(quat)
+    if quat[3] < 0:
+        quat = -quat
+    trans = np.array([t_map_odom[0, 3], t_map_odom[1, 3], 0.0])
+    return trans, quat
+
+
+def latched_initial_pose(
+    x: float = -2.0, y: float = -0.5, yaw: float = 0.0, cov_diag=(0.25, 0.25, 0.0685)
+):
+    """The /initial_pose message content the reference latches once
+    (initial_pose_pub.py:25-49): pose + 6x6 covariance with (x, y, yaw)
+    diagonal entries."""
+    cov = np.zeros(36)
+    cov[0] = cov_diag[0]
+    cov[7] = cov_diag[1]
+    cov[35] = cov_diag[2]
+    return {
+        "position": (x, y, 0.0),
+        "orientation": (0.0, 0.0, float(np.sin(yaw / 2)), float(np.cos(yaw / 2))),
+        "covariance": cov,
+        "pose3": (x, y, float(normalize_angle(np.float32(yaw)))),
+    }
