@@ -1,0 +1,109 @@
+"""OnlineLocalizer: callback-style facade mirroring the reference node.
+
+The reference's ``AMCMHLocalizer`` is a ROS node driven by /odom (~30 Hz)
+and /scan (~5 Hz) callbacks (amcmh_localizer.py:104-105,294,379).  This
+facade gives reference users the same mental model on top of the pure
+filter: feed odometry poses and scans as they arrive; each odometry message
+runs the (jitted) predict step, each scan runs the correct step and returns
+the estimate.  Internally it is just FilterState threading — no threads, no
+shared mutable arrays, no races (SURVEY.md §3 hazard note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.estimate import covariance_6x6
+from mcmh_localization_tpu.filter.step import make_model
+from mcmh_localization_tpu.models.motion import compute_motion
+from mcmh_localization_tpu.utils.angles import yaw_from_quaternion
+
+
+class OnlineLocalizer:
+    """Stateful wrapper: on_odom()/on_scan() like the reference's callbacks."""
+
+    def __init__(
+        self,
+        config: FilterConfig,
+        grid_map,
+        seed: int = 0,
+        initial_pose=None,
+    ):
+        self.config = config
+        self.grid_map = grid_map
+        self.model = make_model(config, grid_map)
+        self.state = self.model.init(
+            jax.random.PRNGKey(seed), initial_pose=initial_pose
+        )
+        self._last_odom: Optional[np.ndarray] = None
+        self.last_info = None
+
+    # -- inputs --------------------------------------------------------------
+
+    def set_initial_pose(self, x: float, y: float, yaw: float, seed: int = 1):
+        """Re-initialize around a pose (the /initial_pose callback,
+        amcmh_localizer.py:199-208)."""
+        self.state = self.model.init(
+            jax.random.PRNGKey(seed), initial_pose=jnp.asarray([x, y, yaw])
+        )
+        self._last_odom = None
+
+    def on_odom(self, x: float, y: float, yaw: float):
+        """Odometry pose update -> motion proposal (odom_callback,
+        amcmh_localizer.py:379-408).  First message only seeds last_odom."""
+        curr = np.asarray([x, y, yaw], dtype=np.float32)
+        if self._last_odom is not None:
+            delta = compute_motion(
+                jnp.asarray(self._last_odom), jnp.asarray(curr)
+            )
+            self.state = self.model.predict(self.state, delta)
+        self._last_odom = curr
+
+    def on_odom_quaternion(self, x, y, qx, qy, qz, qw):
+        """Odometry with quaternion orientation, as a ROS Odometry carries."""
+        yaw = float(yaw_from_quaternion(qx, qy, qz, qw))
+        self.on_odom(x, y, yaw)
+
+    def on_scan(self, ranges, angles=None, angle_min=-np.pi, angle_max=np.pi):
+        """Scan update -> full correction; returns the estimate dict
+        (lidar_callback, amcmh_localizer.py:294-338).  ``angles`` defaults to
+        the reference's linspace(angle_min, angle_max, M) layout
+        (get_lidar_angles, :346-348)."""
+        ranges = jnp.asarray(ranges, dtype=jnp.float32)
+        if angles is None:
+            angles = jnp.linspace(angle_min, angle_max, ranges.shape[0],
+                                  dtype=jnp.float32)
+        else:
+            angles = jnp.asarray(angles, dtype=jnp.float32)
+        self.state, info = self.model.correct(self.state, ranges, angles)
+        self.last_info = info
+        return self.estimate()
+
+    # -- outputs -------------------------------------------------------------
+
+    def estimate(self) -> dict:
+        """Latest pose estimate in PoseWithCovarianceStamped-like form
+        (publish_estimate, amcmh_localizer.py:584-623)."""
+        if self.last_info is None:
+            return {}
+        mean = np.asarray(self.last_info.estimate.mean)
+        yaw = float(mean[2])
+        return {
+            "position": (float(mean[0]), float(mean[1]), 0.0),
+            "orientation": (0.0, 0.0, float(np.sin(yaw / 2)), float(np.cos(yaw / 2))),
+            "covariance": np.asarray(covariance_6x6(self.last_info.estimate.cov)),
+            "pose3": (float(mean[0]), float(mean[1]), yaw),
+        }
+
+    def particles(self) -> tuple[np.ndarray, np.ndarray]:
+        """(active particles, weights) for visualization."""
+        n = int(self.state.count)
+        return (
+            np.asarray(self.state.particles[:n]),
+            np.asarray(self.state.weights[:n]),
+        )
