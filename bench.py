@@ -32,6 +32,11 @@ ITERS = 20
 def main():
     import jax
 
+    # Persistent compile cache: the driver's bench invocation reuses compiles
+    # from development runs (XLA compile on this 1-core host is minutes).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.filter.step import _correct, _predict
     from mcmh_localization_tpu.models.sensor import log_likelihood_field

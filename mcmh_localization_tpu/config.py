@@ -101,6 +101,13 @@ class FilterConfig:
     # rejected particles keep their pre-motion pose (see tests/test_filter).
     ref_compat_assym_guard: bool = True
 
+    # --- sensor model selection ---
+    # "likelihood_field" is the reference's live path (compute_likelihoods);
+    # "beam" is its dormant ray-cast model (compute_likelihoods_raycast,
+    # parallel_utils.py:151-201 — imported but never called there; fully
+    # functional here).  Beam-model parameters reuse sigma_hit/z_hit/z_rand.
+    sensor_model: str = "likelihood_field"
+
     # --- numeric/implementation knobs (new; no reference equivalent) ---
     likelihood_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping

@@ -89,6 +89,45 @@ def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterCon
 # correct (scan) step
 # ---------------------------------------------------------------------------
 
+def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
+    """Sensor-model dispatch (static): likelihood field (jnp or Pallas) or
+    the ray-cast beam model."""
+    if config.sensor_model == "beam":
+        from mcmh_localization_tpu.models.sensor import raycast_beam_scores
+
+        return functools.partial(
+            raycast_beam_scores,
+            ranges=ranges, angles=angles, grid_map=grid_map,
+            sigma_hit=config.sigma_hit, z_hit=config.z_hit,
+            z_rand=config.z_rand, max_range=config.max_range,
+        )
+    impl = config.likelihood_impl
+    if impl == "auto":
+        # Pallas needs the table in VMEM (~16 MB/core budget)
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and grid_map.distance.size * 4 <= 8 * 2**20
+            else "jnp"
+        )
+    if impl == "pallas":
+        from mcmh_localization_tpu.ops.likelihood_pallas import (
+            likelihood_field_scores_pallas,
+        )
+
+        return functools.partial(
+            likelihood_field_scores_pallas,
+            ranges=ranges, angles=angles, grid_map=grid_map,
+            config=config, log_field=log_field,
+            interpret=jax.default_backend() == "cpu",
+        )
+    return functools.partial(
+        likelihood_field_scores,
+        ranges=ranges, angles=angles, grid_map=grid_map,
+        config=config, log_field=log_field,
+    )
+
+
 def _transition_probabilities(state: FilterState, config: FilterConfig):
     """Forward/backward odometry transition densities for asymmetric MH
     (transition_probability, amcmh_localizer.py:424-439)."""
@@ -162,11 +201,7 @@ def _correct(
     mask = state.active_mask
 
     # -- weights on previous and proposed sets (update_weights, :252-273)
-    score = functools.partial(
-        likelihood_field_scores,
-        ranges=ranges, angles=angles, grid_map=grid_map,
-        config=config, log_field=log_field,
-    )
+    score = _make_scorer(ranges, angles, grid_map, log_field, config)
     weights_post = softmax_weights(score(state.particles), mask)
     if config.use_mh:
         weights_pre = softmax_weights(score(state.prev_particles), mask)
