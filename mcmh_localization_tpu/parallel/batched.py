@@ -1,0 +1,62 @@
+"""Batched multi-robot / multi-hypothesis localization via a leading vmap axis.
+
+The reference runs one filter per process (one robot, one map).  Here a
+fleet of B robots on the same map is a single vmapped step — every kernel
+(motion, likelihood gather, MH, resampling) batches to (B, N, ...) arrays
+with zero python-level looping, and the batch axis composes with the
+particle-axis mesh sharding (SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.step import make_model
+
+
+class BatchedModel(NamedTuple):
+    config: FilterConfig
+    grid_map: object
+    batch: int
+    step: object   # (states, ranges (B,M), angles (M,), deltas (B,3)) -> ...
+    run: object    # (states, ranges (T,B,M), angles, deltas (T,B,3)) -> ...
+    init: object   # key -> batched FilterState
+
+
+def make_batched_model(config: FilterConfig, grid_map, batch: int) -> BatchedModel:
+    base = make_model(config, grid_map)
+
+    def _step_one(state, ranges, angles, delta):
+        # re-derive from the unjitted pieces via the base model's step
+        return base.step(state, ranges, angles, delta)
+
+    step = jax.jit(jax.vmap(_step_one, in_axes=(0, 0, None, 0)))
+
+    def init(key, initial_poses=None):
+        keys = jax.random.split(key, batch)
+        if initial_poses is None:
+            states = [base.init(k) for k in keys]
+        else:
+            states = [
+                base.init(k, initial_pose=jnp.asarray(p))
+                for k, p in zip(keys, initial_poses)
+            ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    @jax.jit
+    def run(states, ranges_seq, angles, deltas_seq):
+        def body(s, inputs):
+            r, d = inputs
+            s, info = jax.vmap(_step_one, in_axes=(0, 0, None, 0))(s, r, angles, d)
+            return s, info
+
+        return jax.lax.scan(body, states, (ranges_seq, deltas_seq))
+
+    return BatchedModel(
+        config=config, grid_map=grid_map, batch=batch,
+        step=step, run=run, init=init,
+    )
