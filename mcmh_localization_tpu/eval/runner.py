@@ -97,6 +97,11 @@ def cmd_single(args):
     result = evaluate_run(bag.times, est, bag.gt)
     name = args.result_name or f"{args.scenario}_{args.mode}_run0"
     path = save_results(result, name, args.results_dir)
+    if args.metrics:
+        from mcmh_localization_tpu.utils.metrics import MetricsLogger
+
+        with MetricsLogger(os.path.join(args.results_dir, f"{name}.jsonl")) as log:
+            log.log_run(infos, times=bag.times)
     print(
         f"{name}: RMSE {result.rmse:.4f} m | {len(bag.times)} scans in "
         f"{wall:.2f}s ({1e3 * wall / len(bag.times):.2f} ms/scan) -> {path}"
@@ -178,6 +183,8 @@ def build_parser():
     s.add_argument("--mode", default="AMHAMCL", choices=MODES)
     s.add_argument("--scenario", default="square", choices=sorted(SCENARIOS))
     s.add_argument("--result-name", default=None)
+    s.add_argument("--metrics", action="store_true",
+                   help="write per-step JSONL metrics next to the results")
     s.set_defaults(fn=cmd_single)
 
     a = sub.add_parser("all-modes", help="all 6 modes x scenarios x repeats")
