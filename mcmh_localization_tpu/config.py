@@ -109,7 +109,13 @@ class FilterConfig:
     sensor_model: str = "likelihood_field"
 
     # --- numeric/implementation knobs (new; no reference equivalent) ---
-    likelihood_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    # "jnp": exact reference semantics, XLA gather (slow on TPU at scale)
+    # "pallas": exact, Pallas kernel (CPU interpret / small-map VMEM tables)
+    # "corr": correlation-field scorer — gather-free, theta binned to
+    #          corr_n_theta (the TPU-native scale path; see models/corr_field)
+    # "auto": corr on TPU, jnp elsewhere
+    likelihood_impl: str = "auto"
+    corr_n_theta: int = 180
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)

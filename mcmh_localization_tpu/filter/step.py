@@ -103,12 +103,18 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
         )
     impl = config.likelihood_impl
     if impl == "auto":
-        # Pallas needs the table in VMEM (~16 MB/core budget)
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and grid_map.distance.size * 4 <= 8 * 2**20
-            else "jnp"
+        # random-access gathers serialize on TPU; the correlation field is
+        # the TPU-native path (see models/corr_field.py rationale)
+        impl = "corr" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "corr":
+        from mcmh_localization_tpu.models.corr_field import (
+            correlation_field_scores,
+        )
+
+        return functools.partial(
+            correlation_field_scores,
+            ranges=ranges, angles=angles, grid_map=grid_map,
+            config=config, log_field=log_field, n_theta=config.corr_n_theta,
         )
     if impl == "pallas":
         from mcmh_localization_tpu.ops.likelihood_pallas import (

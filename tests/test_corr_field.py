@@ -1,0 +1,87 @@
+"""Correlation-field scorer: statistical agreement with the exact scorer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.step import make_model
+from mcmh_localization_tpu.models.corr_field import correlation_field_scores
+from mcmh_localization_tpu.models.sensor import likelihood_field_scores, raycast
+
+
+def _scan_at(house_map, pose, m=180):
+    angles = jnp.linspace(-np.pi, np.pi, m)
+    r = raycast(pose[:2], pose[2] + angles, house_map, 5.0, hit_unknown=True)
+    return r, angles
+
+
+def test_corr_scores_close_to_exact(house_map, default_config):
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose)
+    rng = np.random.default_rng(0)
+    particles = jnp.asarray(
+        np.stack(
+            [rng.uniform(-3, 3, 400), rng.uniform(-3, 3, 400),
+             rng.uniform(-np.pi, np.pi, 400)], axis=1
+        ).astype(np.float32)
+    )
+    exact = np.asarray(
+        likelihood_field_scores(particles, ranges, angles, house_map, default_config)
+    )
+    corr = np.asarray(
+        correlation_field_scores(
+            particles, ranges, angles, house_map, default_config, n_theta=360
+        )
+    )
+    # high rank correlation + small absolute deviation
+    rho = np.corrcoef(exact, corr)[0, 1]
+    assert rho > 0.98, rho
+    assert np.mean(np.abs(exact - corr)) < 0.15
+
+
+def test_corr_prefers_true_pose(house_map, default_config):
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose)
+    gx, gy = jnp.meshgrid(jnp.linspace(-1, 1, 15), jnp.linspace(-1, 1, 15))
+    parts = jnp.stack(
+        [1.0 + gx.ravel(), 1.0 + gy.ravel(), jnp.full(225, 0.4)], axis=1
+    )
+    s = np.asarray(
+        correlation_field_scores(
+            parts, ranges, angles, house_map, default_config, n_theta=360
+        )
+    )
+    best = np.asarray(parts[int(s.argmax())])
+    assert abs(best[0] - 1.0) < 0.2 and abs(best[1] - 1.0) < 0.2
+
+
+def test_corr_blind(house_map, default_config):
+    parts = jnp.zeros((3, 3))
+    ranges = jnp.full(32, jnp.inf)
+    angles = jnp.linspace(-np.pi, np.pi, 32)
+    s = np.asarray(
+        correlation_field_scores(
+            parts, ranges, angles, house_map, default_config, n_theta=16
+        )
+    )
+    np.testing.assert_allclose(s, -50.0)
+
+
+def test_corr_filter_tracks(house_map):
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="MHAMCL", num_particles=300, min_particles=64, max_particles=400,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=120,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.3, err
