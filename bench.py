@@ -62,12 +62,15 @@ def main():
 
     for _ in range(WARMUP):
         state, _info = step(state, ranges, angles, delta)
-    jax.block_until_ready(state.particles)
+    # scalar fetch: block_until_ready through the axon tunnel returns early,
+    # so sync via a value fetch; successive steps are naturally dependency-
+    # chained through `state`, serializing execution on device.
+    float(state.w_slow)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, _info = step(state, ranges, angles, delta)
-    jax.block_until_ready(state.particles)
+    float(state.w_slow)
     dt = (time.perf_counter() - t0) / ITERS
 
     ms = dt * 1e3
