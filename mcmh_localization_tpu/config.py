@@ -108,6 +108,15 @@ class FilterConfig:
     # functional here).  Beam-model parameters reuse sigma_hit/z_hit/z_rand.
     sensor_model: str = "likelihood_field"
 
+    # --- adaptive-mode resampler variant ---
+    # "kld"    = KLD-sized systematic + random injection (the reference's
+    #            live path, resample_amcl_kld, amcmh_localizer.py:496-527)
+    # "simple" = multinomial + block random injection (resample_amcl_simple,
+    #            :444-458; keeps the particle count fixed)
+    # "lvr"    = systematic with per-slot random injection
+    #            (resample_amcl_lvr, :460-479; fixed count)
+    adaptive_resampler: str = "kld"
+
     # --- numeric/implementation knobs (new; no reference equivalent) ---
     # "jnp": exact reference semantics, XLA gather (slow on TPU at scale)
     # "pallas": exact, Pallas kernel (CPU interpret / small-map VMEM tables)

@@ -151,6 +151,45 @@ def _resample_systematic(key, state: FilterState, config: FilterConfig):
     return state.replace(particles=state.particles[idx]), jnp.float32(0.0)
 
 
+def _resample_amcl_simple(key, state: FilterState, grid_map, config: FilterConfig):
+    """Adaptive 'simple' variant (resample_amcl_simple, amcmh_localizer.py
+    :444-458): multinomial resampling of N - N_random slots + N_random fresh
+    uniform particles; count unchanged; uniform weights."""
+    k_rs, k_rand = jax.random.split(key)
+    n = state.count
+    p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    n_random = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
+    n_resampled = n - n_random
+
+    from mcmh_localization_tpu.ops.resampling import multinomial_resample_indices
+
+    idx = multinomial_resample_indices(k_rs, state.weights, state.n_max)
+    randoms = init_uniform(k_rand, state.n_max, grid_map)
+    slot = jnp.arange(state.n_max)
+    particles = jnp.where(
+        (slot < n_resampled)[:, None], state.particles[idx], randoms
+    )
+    mask = slot < n
+    weights = jnp.where(mask, 1.0 / jnp.maximum(n, 1), 0.0)
+    return state.replace(particles=particles, weights=weights), p_random
+
+
+def _resample_amcl_lvr(key, state: FilterState, grid_map, config: FilterConfig):
+    """Adaptive 'lvr' variant (resample_amcl_lvr, amcmh_localizer.py:460-479):
+    systematic resampling with per-slot probability p_random of replacement
+    by a fresh uniform particle; count unchanged; uniform weights."""
+    k_rs, k_rand, k_coin = jax.random.split(key, 3)
+    n = state.count
+    p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    idx = systematic_resample_indices(k_rs, state.weights, state.n_max, count=n)
+    randoms = init_uniform(k_rand, state.n_max, grid_map)
+    coins = jax.random.uniform(k_coin, (state.n_max,)) < p_random
+    particles = jnp.where(coins[:, None], randoms, state.particles[idx])
+    mask = jnp.arange(state.n_max) < n
+    weights = jnp.where(mask, 1.0 / jnp.maximum(n, 1), 0.0)
+    return state.replace(particles=particles, weights=weights), p_random
+
+
 def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     """Adaptive path (resample_amcl_kld, amcmh_localizer.py:496-527):
     augmented-MCL random injection + KLD-sized systematic resampling.
@@ -248,7 +287,12 @@ def _correct(
 
     # -- resample (:329-335)
     if config.use_adaptive:
-        state, p_random = _resample_kld(k_rs, state, grid_map, config)
+        resampler = {
+            "kld": _resample_kld,
+            "simple": _resample_amcl_simple,
+            "lvr": _resample_amcl_lvr,
+        }[config.adaptive_resampler]
+        state, p_random = resampler(k_rs, state, grid_map, config)
     else:
         state, p_random = _resample_systematic(k_rs, state, config)
 

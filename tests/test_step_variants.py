@@ -50,3 +50,28 @@ def test_pallas_impl_step_matches_jnp(house_map):
         np.asarray(i_j.estimate.mean), np.asarray(i_p.estimate.mean),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_adaptive_resampler_variants(house_map):
+    scans, angles, deltas = _inputs(house_map, t=8)
+    for variant in ("kld", "simple", "lvr"):
+        cfg = FilterConfig(
+            mode="AMCL", num_particles=200, min_particles=40, max_particles=250,
+            initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+            adaptive_resampler=variant,
+        )
+        model = make_model(cfg, house_map)
+        state = model.init(jax.random.PRNGKey(0))
+        for t in range(scans.shape[0]):
+            state, info = model.step(state, scans[t], angles, deltas[t])
+        est = np.asarray(info.estimate.mean)
+        from tests.test_filter import _square_trajectory, _wrap
+
+        true = _wrap(_square_trajectory(8)[-1])
+        err = np.hypot(est[0] - true[0], est[1] - true[1])
+        assert err < 0.35, (variant, est, true)
+        if variant in ("simple", "lvr"):
+            # fixed-count variants keep the initial count
+            assert int(state.count) == 200
+        w = np.asarray(state.weights)
+        assert abs(w.sum() - 1.0) < 1e-4
