@@ -6,20 +6,21 @@ Motivation (measured on v5e): XLA lowers per-element table gathers to a
 worst primitive on TPU.  This module restructures the sensor model so the
 per-beam random access disappears:
 
-  1. Per scan, build a correlation field F[k, wy, wx] over a map window:
-     the score a pose at cell (wy, wx) with heading in theta-bin k would
-     get — F_k = sum_j shift(L, offset_j(theta_k)), computed as dense
-     shifted adds of the log-likelihood table (pure VPU streaming, no
-     random access).  Cost is independent of the particle count.
-  2. Score all N particles with ONE nearest-cell lookup each into F —
-     N gathers instead of N x M.
+  1. Per scan, build a correlation field F[k, cy, cx]: the summed per-beam
+     log-likelihood a pose in cell (cy, cx) with heading in theta-bin k
+     would get — F_k = sum_j shift(L, offset_j(theta_k)), dense shifted
+     adds of the log-likelihood table (pure VPU streaming, no random
+     access; Pallas kernel in ops/corr_field_pallas.py keeps the table in
+     VMEM).  Cost is independent of the particle count.
+  2. Score all N particles with ONE lookup each into F — N gathers
+     instead of N x M.
 
 Approximation vs the exact scorer (documented): heading is quantized to
-``n_theta`` bins and the pose-dependent endpoint cell is derived from the
-particle's cell rather than its continuous position — both on the order of
-the reference's own 5 cm cell quantization for reasonable n_theta.  Exact
-semantics remain available via likelihood_impl="jnp"; filter-level RMSE is
-indistinguishable (see tests/test_corr_field.py).
+``n_theta`` bins and the endpoint cell is particle-cell + offset-cell
+(double truncation) rather than trunc of the continuous endpoint — both on
+the order of the reference's own 5 cm cell quantization for reasonable
+n_theta.  Exact semantics remain available via likelihood_impl="jnp";
+filter-level RMSE is indistinguishable (tests/test_corr_field.py).
 """
 
 from __future__ import annotations
@@ -33,41 +34,34 @@ from mcmh_localization_tpu.config import FilterConfig
 from mcmh_localization_tpu.models.sensor import BLIND_SCORE, log_likelihood_field
 
 
-@functools.partial(jax.jit, static_argnames=("n_theta", "pad_cells"))
-def build_correlation_field(
-    log_field: jnp.ndarray,   # (H, W)
-    u: jnp.ndarray,           # (M,) r*cos(a) for valid beams, 0 otherwise
-    v: jnp.ndarray,           # (M,)
-    valid: jnp.ndarray,       # (M,) bool
-    inv_res: jnp.ndarray,     # () 1/resolution
-    n_theta: int,
-    pad_cells: int,
-) -> jnp.ndarray:
-    """F (n_theta, H, W): summed log-likelihood over beams per theta-bin.
-
-    Out-of-map endpoints contribute 0 (zero padding), matching the
-    reference's skip-but-count semantics (parallel_utils.py:131).
-    """
-    h, w = log_field.shape
-    padded = jnp.pad(log_field, pad_cells)  # zeros outside the map
+def _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row):
+    """(K, M) int32 slice-start offsets per theta-bin; invalid beams point
+    at the all-zero band."""
     thetas = (
         jnp.arange(n_theta, dtype=jnp.float32) * (2.0 * jnp.pi / n_theta)
         - jnp.pi
     )
+    c = jnp.cos(thetas)[:, None]
+    s = jnp.sin(thetas)[:, None]
+    ox = ((c * u[None, :] - s * v[None, :]) * inv_res).astype(jnp.int32) + pad_cells
+    oy = ((s * u[None, :] + c * v[None, :]) * inv_res).astype(jnp.int32) + pad_cells
+    ox = jnp.clip(ox, 0, 2 * pad_cells)
+    oy = jnp.clip(oy, 0, 2 * pad_cells)
+    ox = jnp.where(valid[None, :], ox, 0)
+    oy = jnp.where(valid[None, :], oy, zero_band_row)
+    return ox, oy
 
-    def one_bin(theta):
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        # endpoint offset in cells for each beam (truncation like the ref)
-        ox = ((c * u - s * v) * inv_res).astype(jnp.int32) + pad_cells
-        oy = ((s * u + c * v) * inv_res).astype(jnp.int32) + pad_cells
 
-        def one_beam(j):
-            sl = jax.lax.dynamic_slice(padded, (oy[j], ox[j]), (h, w))
-            return jnp.where(valid[j], sl, 0.0)
+def _build_field_xla(padded, ox, oy, h, w):
+    """XLA fallback: per-bin vmapped dynamic slices + sum."""
 
-        return jnp.sum(jax.vmap(one_beam)(jnp.arange(u.shape[0])), axis=0)
+    def one_bin(ox_k, oy_k):
+        def one_beam(oxj, oyj):
+            return jax.lax.dynamic_slice(padded, (oyj, oxj), (h, w))
 
-    return jax.lax.map(one_bin, thetas)
+        return jnp.sum(jax.vmap(one_beam)(ox_k, oy_k), axis=0)
+
+    return jax.lax.map(lambda o: one_bin(o[0], o[1]), (ox, oy))
 
 
 def correlation_field_scores(
@@ -78,13 +72,14 @@ def correlation_field_scores(
     config: FilterConfig,
     log_field: jnp.ndarray | None = None,
     n_theta: int = 180,
+    field_impl: str = "auto",  # "auto" | "pallas" | "xla"
 ) -> jnp.ndarray:
     """Per-particle scores via one field lookup each; same normalization and
-    blind penalty as the exact scorer.
+    blind penalty as the exact scorer (parallel_utils.py:144-147).
 
     When called twice with identical (ranges, angles) inside one jit trace
-    (the previous + proposed sets of a scan update), XLA's CSE merges the
-    two field builds into one.
+    (the previous + proposed sets of a scan update), XLA CSE merges the two
+    field builds into one.
 
     NOTE: ``grid_map`` must be a concrete (non-traced) map — the static pad
     size derives from its resolution at trace time, which holds for the
@@ -97,15 +92,29 @@ def correlation_field_scores(
         angles = angles[:: config.step]
     valid = jnp.isfinite(ranges) & (ranges < config.max_range)
 
+    h, w = log_field.shape
     res = float(jax.device_get(grid_map.resolution))
     pad_cells = int(-(-config.max_range // res)) + 2
     inv_res = 1.0 / grid_map.resolution
     safe_r = jnp.where(valid, ranges, 0.0)
     u = (safe_r * jnp.cos(angles)).astype(jnp.float32)
     v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
-    field = build_correlation_field(
-        log_field, u, v, valid, inv_res, n_theta=n_theta, pad_cells=pad_cells
-    )
+
+    # zero-pad + append an all-zero band of height h for invalid beams
+    padded = jnp.pad(log_field, pad_cells)
+    zero_band_row = padded.shape[0]
+    padded = jnp.pad(padded, ((0, h), (0, 0)))
+
+    ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
+
+    if field_impl == "auto":
+        field_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if field_impl == "pallas":
+        from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
+
+        field = corr_field_pallas(padded, ox, oy, h, w)
+    else:
+        field = _build_field_xla(padded, ox, oy, h, w)
 
     mx = ((particles[:, 0] - grid_map.origin[0]) * inv_res).astype(jnp.int32)
     my = ((particles[:, 1] - grid_map.origin[1]) * inv_res).astype(jnp.int32)
@@ -122,3 +131,17 @@ def correlation_field_scores(
     count = jnp.sum(valid)
     score = totals / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
+
+
+# retained for API compatibility with earlier revisions / direct use
+@functools.partial(jax.jit, static_argnames=("n_theta", "pad_cells"))
+def build_correlation_field(
+    log_field, u, v, valid, inv_res, n_theta: int, pad_cells: int
+):
+    """(n_theta, H, W) field via the XLA path (offsets derived internally)."""
+    h, w = log_field.shape
+    padded = jnp.pad(log_field, pad_cells)
+    zero_band_row = padded.shape[0]
+    padded = jnp.pad(padded, ((0, h), (0, 0)))
+    ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
+    return _build_field_xla(padded, ox, oy, h, w)

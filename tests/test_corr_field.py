@@ -85,3 +85,30 @@ def test_corr_filter_tracks(house_map):
     true = _wrap(poses[-1])
     err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
     assert err < 0.3, err
+
+
+def test_pallas_field_matches_xla(house_map, default_config):
+    from mcmh_localization_tpu.models.corr_field import (
+        _bin_offsets, _build_field_xla,
+    )
+    from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
+    import jax
+
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=90)
+    cfg = default_config
+    valid = jnp.isfinite(ranges) & (ranges < cfg.max_range)
+    L = jnp.asarray(np.random.default_rng(0).normal(size=(192, 192)).astype(np.float32))
+    res = float(jax.device_get(house_map.resolution))
+    pad = int(-(-cfg.max_range // res)) + 2
+    inv_res = 1.0 / house_map.resolution
+    safe_r = jnp.where(valid, ranges, 0.0)
+    u = (safe_r * jnp.cos(angles)).astype(jnp.float32)
+    v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
+    padded = jnp.pad(L, pad)
+    zrow = padded.shape[0]
+    padded = jnp.pad(padded, ((0, 192), (0, 0)))
+    ox, oy = _bin_offsets(u, v, valid, inv_res, 24, pad, zrow)
+    ref = np.asarray(_build_field_xla(padded, ox, oy, 192, 192))
+    got = np.asarray(corr_field_pallas(padded, ox, oy, 192, 192, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
