@@ -124,7 +124,7 @@ class FilterConfig:
     #          corr_n_theta (the TPU-native scale path; see models/corr_field)
     # "auto": corr on TPU, jnp elsewhere
     likelihood_impl: str = "auto"
-    corr_n_theta: int = 180
+    corr_n_theta: int = 120
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)

@@ -100,10 +100,11 @@ def correlation_field_scores(
     u = (safe_r * jnp.cos(angles)).astype(jnp.float32)
     v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
 
-    # zero-pad + append an all-zero band of height h for invalid beams
+    # zero-pad + append an all-zero band of height h for invalid beams, plus
+    # tile-alignment margins for the Pallas kernel's aligned window loads
     padded = jnp.pad(log_field, pad_cells)
     zero_band_row = padded.shape[0]
-    padded = jnp.pad(padded, ((0, h), (0, 0)))
+    padded = jnp.pad(padded, ((0, h + 8), (0, 128)))
 
     ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
 

@@ -107,7 +107,7 @@ def test_pallas_field_matches_xla(house_map, default_config):
     v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
     padded = jnp.pad(L, pad)
     zrow = padded.shape[0]
-    padded = jnp.pad(padded, ((0, 192), (0, 0)))
+    padded = jnp.pad(padded, ((0, 192 + 8), (0, 128)))
     ox, oy = _bin_offsets(u, v, valid, inv_res, 24, pad, zrow)
     ref = np.asarray(_build_field_xla(padded, ox, oy, 192, 192))
     got = np.asarray(corr_field_pallas(padded, ox, oy, 192, 192, interpret=True))
