@@ -80,7 +80,7 @@ class FilterConfig:
     # until it lands on a free cell (parallel_utils.py:339-361).  We use a
     # fixed, shape-static number of masked retry rounds; statistically
     # equivalent fallback-to-old-pose semantics.
-    motion_retries: int = 8
+    motion_retries: int = 4
 
     # --- reference-compatibility quirks (SURVEY.md §7 "Known reference quirks").
     # Each defaults to the *corrected* behavior; set True to bit-follow the
@@ -125,6 +125,11 @@ class FilterConfig:
     # "auto": corr on TPU, jnp elsewhere
     likelihood_impl: str = "auto"
     corr_n_theta: int = 120
+    # corr field window (cells, 0 = full map): build the correlation field
+    # only over a window centered on the particle cloud — the dominant cost
+    # lever once the filter has converged.  Particles outside the window
+    # score like fully-out-of-map particles (0 before averaging).
+    corr_window_cells: int = 0
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)

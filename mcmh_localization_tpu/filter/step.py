@@ -89,6 +89,15 @@ def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterCon
 # correct (scan) step
 # ---------------------------------------------------------------------------
 
+def _resolved_likelihood_impl(config: FilterConfig) -> str:
+    impl = config.likelihood_impl
+    if impl == "auto":
+        # random-access gathers serialize on TPU; the correlation field is
+        # the TPU-native path (see models/corr_field.py rationale)
+        impl = "corr" if jax.default_backend() == "tpu" else "jnp"
+    return impl
+
+
 def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
     """Sensor-model dispatch (static): likelihood field (jnp or Pallas) or
     the ray-cast beam model."""
@@ -101,11 +110,7 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
             sigma_hit=config.sigma_hit, z_hit=config.z_hit,
             z_rand=config.z_rand, max_range=config.max_range,
         )
-    impl = config.likelihood_impl
-    if impl == "auto":
-        # random-access gathers serialize on TPU; the correlation field is
-        # the TPU-native path (see models/corr_field.py rationale)
-        impl = "corr" if jax.default_backend() == "tpu" else "jnp"
+    impl = _resolved_likelihood_impl(config)
     if impl == "corr":
         from mcmh_localization_tpu.models.corr_field import (
             correlation_field_scores,
@@ -132,6 +137,20 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
         ranges=ranges, angles=angles, grid_map=grid_map,
         config=config, log_field=log_field,
     )
+
+
+def _window_origin(state: FilterState, grid_map, config: FilterConfig):
+    """Cell coords of the corr-field window's lower-left corner, centered on
+    the active particle cloud's mean position."""
+    mask = state.active_mask
+    n = jnp.maximum(jnp.sum(mask), 1)
+    mean_x = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
+    mean_y = jnp.sum(jnp.where(mask, state.particles[:, 1], 0.0)) / n
+    inv_res = 1.0 / grid_map.resolution
+    half = config.corr_window_cells // 2
+    ox0 = ((mean_x - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
+    oy0 = ((mean_y - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
+    return oy0, ox0
 
 
 def _transition_probabilities(state: FilterState, config: FilterConfig):
@@ -247,6 +266,15 @@ def _correct(
 
     # -- weights on previous and proposed sets (update_weights, :252-273)
     score = _make_scorer(ranges, angles, grid_map, log_field, config)
+    if (
+        config.corr_window_cells
+        and config.sensor_model != "beam"
+        and _resolved_likelihood_impl(config) == "corr"
+    ):
+        # window-limited correlation field centered on the particle cloud;
+        # the SAME origin for both score calls so XLA CSE builds one field
+        wo = _window_origin(state, grid_map, config)
+        score = functools.partial(score, window_origin=wo)
     weights_post = softmax_weights(score(state.particles), mask)
     if config.use_mh:
         weights_pre = softmax_weights(score(state.prev_particles), mask)

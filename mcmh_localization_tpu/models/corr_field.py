@@ -73,6 +73,7 @@ def correlation_field_scores(
     log_field: jnp.ndarray | None = None,
     n_theta: int = 180,
     field_impl: str = "auto",  # "auto" | "pallas" | "xla"
+    window_origin: tuple | None = None,  # (oy0, ox0) cell coords, traced ok
 ) -> jnp.ndarray:
     """Per-particle scores via one field lookup each; same normalization and
     blind penalty as the exact scorer (parallel_utils.py:144-147).
@@ -108,14 +109,31 @@ def correlation_field_scores(
 
     ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
 
+    # window-limited build: the field only covers (win x win) cells at
+    # window_origin; offsets shift the slice starts so out[wy, wx] is the
+    # score of absolute cell (oy0 + wy, ox0 + wx)
+    win = config.corr_window_cells
+    use_window = bool(win) and win < min(h, w) and window_origin is not None
+    if use_window:
+        oy0, ox0 = window_origin
+        oy0 = jnp.clip(jnp.asarray(oy0, jnp.int32), 0, h - win)
+        ox0 = jnp.clip(jnp.asarray(ox0, jnp.int32), 0, w - win)
+        # keep the invalid-beam zero-band rows intact (they exceed 2*pad)
+        is_zero_band = oy >= zero_band_row
+        ox = ox + ox0
+        oy = jnp.where(is_zero_band, oy, oy + oy0)
+        fh = fw = win
+    else:
+        fh, fw = h, w
+
     if field_impl == "auto":
         field_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if field_impl == "pallas":
         from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
 
-        field = corr_field_pallas(padded, ox, oy, h, w)
+        field = corr_field_pallas(padded, ox, oy, fh, fw)
     else:
-        field = _build_field_xla(padded, ox, oy, h, w)
+        field = _build_field_xla(padded, ox, oy, fh, fw)
 
     mx = ((particles[:, 0] - grid_map.origin[0]) * inv_res).astype(jnp.int32)
     my = ((particles[:, 1] - grid_map.origin[1]) * inv_res).astype(jnp.int32)
@@ -124,8 +142,12 @@ def correlation_field_scores(
         .astype(jnp.int32) % n_theta
     )
     in_map = grid_map.in_bounds(mx, my)
-    mxc = jnp.clip(mx, 0, grid_map.width - 1)
-    myc = jnp.clip(my, 0, grid_map.height - 1)
+    if use_window:
+        mx = mx - ox0
+        my = my - oy0
+        in_map = in_map & (mx >= 0) & (mx < fw) & (my >= 0) & (my < fh)
+    mxc = jnp.clip(mx, 0, fw - 1)
+    myc = jnp.clip(my, 0, fh - 1)
     totals = field[tbin, myc, mxc]          # ONE gather per particle
     totals = jnp.where(in_map, totals, 0.0)
 

@@ -112,3 +112,49 @@ def test_pallas_field_matches_xla(house_map, default_config):
     ref = np.asarray(_build_field_xla(padded, ox, oy, 192, 192))
     got = np.asarray(corr_field_pallas(padded, ox, oy, 192, 192, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_corr_windowed_matches_full_for_contained_cloud(house_map, default_config):
+    # a cloud well inside the window must score identically windowed vs full
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=90)
+    rng = np.random.default_rng(3)
+    particles = jnp.asarray(
+        np.stack([1.0 + rng.normal(0, 0.3, 200), 1.0 + rng.normal(0, 0.3, 200),
+                  rng.uniform(-np.pi, np.pi, 200)], axis=1).astype(np.float32)
+    )
+    cfg = default_config.replace(corr_window_cells=96)
+    full = np.asarray(
+        correlation_field_scores(particles, ranges, angles, house_map, cfg, n_theta=64)
+    )
+    # window centered at the cloud
+    import jax
+    res = float(jax.device_get(house_map.resolution))
+    ox0 = int((1.0 - (-4.8)) / res) - 48
+    oy0 = int((1.0 - (-4.8)) / res) - 48
+    win = np.asarray(
+        correlation_field_scores(
+            particles, ranges, angles, house_map, cfg, n_theta=64,
+            window_origin=(oy0, ox0),
+        )
+    )
+    np.testing.assert_allclose(win, full, rtol=1e-5, atol=1e-5)
+
+
+def test_corr_windowed_filter_tracks(house_map):
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="MHAMCL", num_particles=256, min_particles=64, max_particles=320,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=120, corr_window_cells=128,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.3, err
