@@ -15,7 +15,6 @@ Mode strings are parsed with the reference's substring convention
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 MODES = ("MCL", "AMCL", "MHMCL", "MHAMCL", "AMHMCL", "AMHAMCL")
