@@ -110,18 +110,23 @@ def correlation_field_scores(
     ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
 
     # window-limited build: the field only covers (win x win) cells at
-    # window_origin; offsets shift the slice starts so out[wy, wx] is the
-    # score of absolute cell (oy0 + wy, ox0 + wx)
+    # window_origin; the padded table is pre-sliced to the window's reach so
+    # the Pallas kernel's VMEM footprint is independent of map size
     win = config.corr_window_cells
     use_window = bool(win) and win < min(h, w) and window_origin is not None
     if use_window:
         oy0, ox0 = window_origin
         oy0 = jnp.clip(jnp.asarray(oy0, jnp.int32), 0, h - win)
         ox0 = jnp.clip(jnp.asarray(ox0, jnp.int32), 0, w - win)
-        # keep the invalid-beam zero-band rows intact (they exceed 2*pad)
+        region_h = 2 * pad_cells + win + 8
+        region_w = 2 * pad_cells + win + 128
+        region = jax.lax.dynamic_slice(padded, (oy0, ox0), (region_h, region_w))
+        # local zero band for invalid beams
+        zero_band_local = region_h
+        region = jnp.pad(region, ((0, win + 8), (0, 0)))
         is_zero_band = oy >= zero_band_row
-        ox = ox + ox0
-        oy = jnp.where(is_zero_band, oy, oy + oy0)
+        oy = jnp.where(is_zero_band, zero_band_local, oy)
+        padded = region
         fh = fw = win
     else:
         fh, fw = h, w
