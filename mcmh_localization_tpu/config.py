@@ -92,6 +92,12 @@ class FilterConfig:
     # rejected samples to (0,0,0).  False (default) keeps free-cell samples
     # and collapses invalid ones onto the requested mean instead.
     ref_compat_gaussian_init: bool = False
+    # amcmh_localizer.py:86-87 initializes w_slow = w_fast = 1e-3 (= 1/1000).
+    # For init_particles > 1000 this sits ABOVE the steady-state w_avg = 1/N,
+    # so augmented-MCL injects a large random fraction for dozens of scans
+    # after startup (a pure init transient; diverges short runs at N >= 2000).
+    # False (default): initialize both to 1/num_particles (no transient).
+    ref_compat_w_init: bool = False
     # parallel_utils.py:269 guards the asymmetric-MH acceptance with
     # ``if log_den > 0 else 1.0`` — log_den is ~always <= 0, degenerating to
     # always-accept.  Default True REPRODUCES that reference behavior (the

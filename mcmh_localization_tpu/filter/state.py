@@ -45,11 +45,15 @@ def make_state(
     count,
     key: jax.Array,
     n_max: int,
+    w_init: float | None = None,
 ) -> FilterState:
     """Build an initial state from (count, 3) particles padded to n_max.
 
-    Initial weights are uniform 1/count (amcmh_localizer.py:98); w_slow and
-    w_fast start at 1e-3 (:86-87).
+    Initial weights are uniform 1/count (amcmh_localizer.py:98).  w_slow and
+    w_fast start at ``w_init``; the reference hardcodes 1e-3 (:86-87), which
+    for N > 1000 sits above the steady-state w_avg = 1/N and triggers a long
+    random-injection transient — the default here is 1/count
+    (config.ref_compat_w_init restores the reference value).
     """
     n = particles.shape[0]
     pad = n_max - n
@@ -59,13 +63,15 @@ def make_state(
     count = jnp.asarray(count, dtype=jnp.int32)
     mask = jnp.arange(n_max) < count
     weights = jnp.where(mask, 1.0 / jnp.maximum(count, 1), 0.0).astype(jnp.float32)
+    if w_init is None:
+        w_init = 1.0 / max(int(n), 1)
     return FilterState(
         particles=particles,
         prev_particles=particles,
         weights=weights,
         count=count,
-        w_slow=jnp.float32(1e-3),
-        w_fast=jnp.float32(1e-3),
+        w_slow=jnp.float32(w_init),
+        w_fast=jnp.float32(w_init),
         delta=jnp.zeros(3, dtype=jnp.float32),
         key=key,
     )

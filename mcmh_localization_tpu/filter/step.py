@@ -401,7 +401,8 @@ def make_model(config: FilterConfig, grid_map) -> FilterModel:
             )
         else:
             particles = init_uniform(k_init, n, grid_map)
-        return make_state(particles, n, k_state, n_max)
+        w_init = 1e-3 if config.ref_compat_w_init else 1.0 / n
+        return make_state(particles, n, k_state, n_max, w_init=w_init)
 
     @jax.jit
     def run(state, ranges_seq, angles, deltas):
