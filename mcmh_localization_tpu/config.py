@@ -112,6 +112,12 @@ class FilterConfig:
     # parallel_utils.py:151-201 — imported but never called there; fully
     # functional here).  Beam-model parameters reuse sigma_hit/z_hit/z_rand.
     sensor_model: str = "likelihood_field"
+    # Per-particle score = mean of beam log-likelihoods (the reference's
+    # valid-count normalization, parallel_utils.py:145 — heavily tempered:
+    # weights stay near-uniform and global localization converges slowly) or
+    # "sum" (textbook MCL: product of beam likelihoods; sharp weights, fast
+    # convergence).  "mean" is the reference-parity default.
+    score_aggregation: str = "mean"
 
     # --- adaptive-mode resampler variant ---
     # "kld"    = KLD-sized systematic + random injection (the reference's

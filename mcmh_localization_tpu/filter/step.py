@@ -109,6 +109,7 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
             ranges=ranges, angles=angles, grid_map=grid_map,
             sigma_hit=config.sigma_hit, z_hit=config.z_hit,
             z_rand=config.z_rand, max_range=config.max_range,
+            aggregation=config.score_aggregation,
         )
     impl = _resolved_likelihood_impl(config)
     if impl == "corr":

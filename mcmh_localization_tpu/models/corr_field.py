@@ -157,7 +157,10 @@ def correlation_field_scores(
     totals = jnp.where(in_map, totals, 0.0)
 
     count = jnp.sum(valid)
-    score = totals / jnp.maximum(count, 1)
+    if config.score_aggregation == "sum":
+        score = totals
+    else:
+        score = totals / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 

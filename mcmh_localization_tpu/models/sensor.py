@@ -119,7 +119,10 @@ def likelihood_field_scores(
 
     count = jnp.sum(valid)
     total = jnp.sum(contrib, axis=1)
-    score = total / jnp.maximum(count, 1)
+    if config.score_aggregation == "sum":
+        score = total
+    else:
+        score = total / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 
@@ -176,6 +179,7 @@ def raycast_beam_scores(
     z_rand: float = 0.1,
     max_range: float = 10.0,
     chunk: int = 64,
+    aggregation: str = "mean",
 ) -> jnp.ndarray:
     """Per-particle log-likelihood under the beam (ray-cast) model, (N,).
 
@@ -203,5 +207,8 @@ def raycast_beam_scores(
     padded = jnp.pad(particles, ((0, pad), (0, 0)))
     chunks = padded.reshape(-1, chunk, 3)
     totals = jax.lax.map(jax.vmap(score_one), chunks).reshape(-1)[:n]
-    score = totals / jnp.maximum(count, 1)
+    if aggregation == "sum":
+        score = totals
+    else:
+        score = totals / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, -jnp.inf).astype(jnp.float32)

@@ -154,5 +154,8 @@ def likelihood_field_scores_pallas(
         log_field.reshape(-1), scalars, interpret=interpret,
     )
     count = jnp.sum(valid)
-    score = totals / jnp.maximum(count, 1)
+    if config.score_aggregation == "sum":
+        score = totals
+    else:
+        score = totals / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
