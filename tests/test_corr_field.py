@@ -158,3 +158,40 @@ def test_corr_windowed_filter_tracks(house_map):
     true = _wrap(poses[-1])
     err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
     assert err < 0.3, err
+
+
+def test_corr_windowed_large_map(default_config):
+    # 1024^2 map: windowed corr keeps the working set small and stays
+    # consistent with the exact scorer for a contained cloud
+    import numpy as np_
+    from mcmh_localization_tpu.maps.grid_map import build_grid_map
+
+    h = w = 1024
+    occ = np_.zeros((h, w), dtype=np_.int8)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 100
+    rng = np_.random.default_rng(0)
+    for _ in range(40):  # scatter pillars for structure
+        r, c = rng.integers(10, h - 14, 2)
+        occ[r:r + 4, c:c + 4] = 100
+    m = build_grid_map(occ, 0.05, (-25.6, -25.6), edt_impl="scipy")
+
+    pose = jnp.array([0.0, 0.0, 0.2])
+    angles = jnp.linspace(-np.pi, np.pi, 120)
+    ranges = raycast(pose[:2], pose[2] + angles, m, 5.0, hit_unknown=True)
+    particles = jnp.asarray(
+        np_.stack([rng.normal(0, 0.4, 150), rng.normal(0, 0.4, 150),
+                   rng.uniform(-np.pi, np.pi, 150)], axis=1).astype(np_.float32)
+    )
+    cfg = default_config.replace(corr_window_cells=128)
+    oy0 = int((0.0 + 25.6) / 0.05) - 64
+    exact = np.asarray(
+        likelihood_field_scores(particles, ranges, angles, m, cfg)
+    )
+    win = np.asarray(
+        correlation_field_scores(
+            particles, ranges, angles, m, cfg, n_theta=360,
+            window_origin=(oy0, oy0),
+        )
+    )
+    rho = np.corrcoef(exact, win)[0, 1]
+    assert rho > 0.97, rho

@@ -75,3 +75,25 @@ def test_adaptive_resampler_variants(house_map):
             assert int(state.count) == 200
         w = np.asarray(state.weights)
         assert abs(w.sum() - 1.0) < 1e-4
+
+
+def test_sum_aggregation_tracks(house_map):
+    scans, angles, deltas = _inputs(house_map, t=8)
+    cfg = FilterConfig(
+        mode="MCL", num_particles=200, initialized=True,
+        initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        score_aggregation="sum",
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(0))
+    ess = []
+    for t in range(scans.shape[0]):
+        state, info = model.step(state, scans[t], angles, deltas[t])
+        ess.append(float(info.ess))
+    from tests.test_filter import _square_trajectory, _wrap
+
+    true = _wrap(_square_trajectory(8)[-1])
+    est = np.asarray(info.estimate.mean)
+    assert np.hypot(est[0] - true[0], est[1] - true[1]) < 0.3
+    # sum aggregation sharpens weights: ESS well below the mean-agg ~N level
+    assert np.mean(ess) < 150
