@@ -124,7 +124,8 @@ def cmd_all_modes(args):
             )
             cfg = _with_init(cfg, args, bag)
             for rep in range(args.repeats):
-                key = jax.random.PRNGKey(args.seed + 1000 * rep + hash(mode) % 997)
+                mode_salt = sum(ord(c) for c in mode)  # stable across processes
+                key = jax.random.PRNGKey(args.seed + 1000 * rep + mode_salt)
                 est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, key)
                 result = evaluate_run(bag.times, est, bag.gt)
                 name = f"{scenario}_{mode}_run{rep}"
