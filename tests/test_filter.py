@@ -159,3 +159,25 @@ def test_step_info_fields(house_map, trajectory_data):
     assert 1.0 <= float(info.ess) <= 128.0
     assert info.estimate.cov.shape == (3, 3)
     assert int(info.count) == 128
+
+
+def test_step_deterministic(house_map, trajectory_data):
+    """The reference's callbacks race on shared arrays (SURVEY.md §3); our
+    pure step is bitwise deterministic — same state + inputs -> same outputs,
+    no matter how many times or in what order it runs."""
+    poses, scans, angles, deltas = trajectory_data
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=128, min_particles=32, max_particles=160,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+    )
+    model = make_model(cfg, house_map)
+    s0 = model.init(jax.random.PRNGKey(0))
+    a1, i1 = model.step(s0, scans[0], angles, deltas[0])
+    # interleave unrelated work, then repeat the identical call
+    _ = model.step(a1, scans[1], angles, deltas[1])
+    a2, i2 = model.step(s0, scans[0], angles, deltas[0])
+    np.testing.assert_array_equal(np.asarray(a1.particles), np.asarray(a2.particles))
+    np.testing.assert_array_equal(np.asarray(a1.weights), np.asarray(a2.weights))
+    np.testing.assert_array_equal(
+        np.asarray(i1.estimate.mean), np.asarray(i2.estimate.mean)
+    )
