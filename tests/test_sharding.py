@@ -90,3 +90,22 @@ def test_adaptive_padding(house_map, mesh):
                        max_particles=501, max_range=5.0)
     sharded = make_sharded_model(cfg, house_map, mesh)
     assert sharded.config.max_particles == 504
+
+
+def test_sharded_corr_impl(house_map, mesh):
+    """Correlation-field scorer under particle-axis sharding (field is
+    replicated, lookups local)."""
+    scans, angles, deltas = _inputs(house_map, t=3)
+    cfg = FilterConfig(
+        mode="MCL", num_particles=256, initialized=True,
+        initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=60,
+    )
+    sharded = make_sharded_model(cfg, house_map, mesh)
+    state = sharded.init(jax.random.PRNGKey(0))
+    for t in range(scans.shape[0]):
+        state, info = sharded.step(state, scans[t], angles, deltas[t])
+    est = np.asarray(info.estimate.mean)
+    assert np.isfinite(est).all()
+    # still sharded after stepping
+    assert len(state.particles.addressable_shards) == 8
