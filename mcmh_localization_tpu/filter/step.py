@@ -92,9 +92,13 @@ def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterCon
 def _resolved_likelihood_impl(config: FilterConfig) -> str:
     impl = config.likelihood_impl
     if impl == "auto":
-        # random-access gathers serialize on TPU; the correlation field is
-        # the TPU-native path (see models/corr_field.py rationale)
-        impl = "corr" if jax.default_backend() == "tpu" else "jnp"
+        # Random-access gathers serialize on TPU (~7.5 ns/element), so the
+        # exact scorer costs ~5.5 us/particle while the corr field has a
+        # particle-independent build cost (~0.26 ms/theta-bin).  Measured
+        # crossover on v5e is ~5k particles; below it the exact path wins
+        # (8.7 ms vs 27 ms at the reference's 1500-particle operating point).
+        big = state_size(config) >= 8192
+        impl = "corr" if (jax.default_backend() == "tpu" and big) else "jnp"
     return impl
 
 
