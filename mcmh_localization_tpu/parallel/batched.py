@@ -27,6 +27,56 @@ class BatchedModel(NamedTuple):
     init: object   # key -> batched FilterState
 
 
+def make_multimap_model(config: FilterConfig, grid_maps, batch: int) -> BatchedModel:
+    """Batched localization with a DIFFERENT map per robot.
+
+    ``grid_maps``: a GridMap pytree whose leaves carry a leading batch axis
+    (stack same-shaped maps with ``jax.tree_util.tree_map(jnp.stack, ...)``).
+    Uses the exact (jnp) likelihood path — the corr scorer needs a concrete
+    per-map resolution at trace time.
+    """
+    from mcmh_localization_tpu.filter.step import _correct, _predict
+    from mcmh_localization_tpu.models.sensor import log_likelihood_field
+
+    config = config.replace(likelihood_impl="jnp")
+    one_map = jax.tree_util.tree_map(lambda x: x[0], grid_maps)
+    base = make_model(config, one_map)  # init template / shapes
+
+    def _step_one(state, ranges, angles, delta, grid_map):
+        log_field = log_likelihood_field(grid_map, config)
+        st = _predict(state, delta, grid_map, config)
+        return _correct(st, ranges, angles, grid_map, log_field, config)
+
+    step = jax.jit(jax.vmap(_step_one, in_axes=(0, 0, None, 0, 0)))
+
+    def init(key, initial_poses=None):
+        keys = jax.random.split(key, batch)
+        states = []
+        for b, k in enumerate(keys):
+            gm_b = jax.tree_util.tree_map(lambda x: x[b], grid_maps)
+            m_b = make_model(config, gm_b)
+            pose = None if initial_poses is None else jnp.asarray(initial_poses[b])
+            states.append(m_b.init(k, initial_pose=pose))
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    @jax.jit
+    def run(states, ranges_seq, angles, deltas_seq):
+        def body(s, inputs):
+            r, d = inputs
+            s, info = jax.vmap(_step_one, in_axes=(0, 0, None, 0, 0))(
+                s, r, angles, d, grid_maps
+            )
+            return s, info
+
+        return jax.lax.scan(body, states, (ranges_seq, deltas_seq))
+
+    return BatchedModel(
+        config=config, grid_map=grid_maps, batch=batch,
+        step=lambda s, r, a, d: step(s, r, a, d, grid_maps),
+        run=run, init=init,
+    )
+
+
 def make_batched_model(config: FilterConfig, grid_map, batch: int) -> BatchedModel:
     base = make_model(config, grid_map)
 

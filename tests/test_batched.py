@@ -76,3 +76,37 @@ def test_batched_matches_individual(house_map):
     est = np.asarray(infos.estimate.mean)
     for b in range(2):
         np.testing.assert_allclose(est[-1, b], outs[b], rtol=1e-4, atol=1e-5)
+
+
+def test_multimap_two_robots_two_maps(house_map, house_occupancy):
+    """Two robots on two DIFFERENT maps in one batched filter."""
+    from mcmh_localization_tpu.maps.grid_map import build_grid_map
+    from mcmh_localization_tpu.parallel.batched import make_multimap_model
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    # second map: the house with an extra wall -> genuinely different
+    occ2 = house_occupancy.copy()
+    occ2[100:160, 60] = 100
+    map2 = build_grid_map(occ2, 0.05, (-4.8, -4.8), edt_impl="scipy")
+    maps = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), house_map, map2
+    )
+
+    poses = _square_trajectory(8)
+    scans1, angles, deltas1 = _simulate(house_map, poses, max_range=5.0)
+    scans2, _, deltas2 = _simulate(map2, poses, max_range=5.0)
+    ranges_seq = jnp.stack([scans1, scans2], axis=1)
+    deltas_seq = jnp.stack([deltas1, deltas2], axis=1)
+
+    cfg = FilterConfig(
+        mode="MHMCL", num_particles=128, initialized=True, max_range=5.0,
+        initial_pose=(1.0, -1.0, np.pi / 2),
+    )
+    model = make_multimap_model(cfg, maps, batch=2)
+    states = model.init(jax.random.PRNGKey(0))
+    states, infos = model.run(states, ranges_seq, angles, deltas_seq)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    for b in range(2):
+        err = np.hypot(est[-1, b, 0] - true[0], est[-1, b, 1] - true[1])
+        assert err < 0.35, (b, est[-1, b], true)
