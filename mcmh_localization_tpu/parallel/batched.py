@@ -27,6 +27,24 @@ class BatchedModel(NamedTuple):
     init: object   # key -> batched FilterState
 
 
+def stack_maps(maps):
+    """Stack same-shaped GridMaps into one batched pytree.
+
+    ``free_xy`` tables differ in length per map, so each is padded to the
+    longest by tiling its own entries — every free cell then appears k or
+    k+1 times, keeping uniform free-space sampling within ~1/F of exact.
+    """
+    f_max = max(m.free_xy.shape[0] for m in maps)
+
+    def pad_free(m):
+        f = m.free_xy.shape[0]
+        reps = -(-f_max // f)
+        return m.replace(free_xy=jnp.tile(m.free_xy, (reps, 1))[:f_max])
+
+    maps = [pad_free(m) for m in maps]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps)
+
+
 def make_multimap_model(config: FilterConfig, grid_maps, batch: int) -> BatchedModel:
     """Batched localization with a DIFFERENT map per robot.
 

@@ -88,9 +88,9 @@ def test_multimap_two_robots_two_maps(house_map, house_occupancy):
     occ2 = house_occupancy.copy()
     occ2[100:160, 60] = 100
     map2 = build_grid_map(occ2, 0.05, (-4.8, -4.8), edt_impl="scipy")
-    maps = jax.tree_util.tree_map(
-        lambda a, b: jnp.stack([a, b]), house_map, map2
-    )
+    from mcmh_localization_tpu.parallel.batched import stack_maps
+
+    maps = stack_maps([house_map, map2])
 
     poses = _square_trajectory(8)
     scans1, angles, deltas1 = _simulate(house_map, poses, max_range=5.0)
