@@ -150,6 +150,16 @@ class FilterConfig:
             object.__setattr__(self, "max_particles", self.num_particles)
         if self.step < 1:
             raise ValueError("step must be >= 1")
+        if self.sensor_model not in ("likelihood_field", "beam"):
+            raise ValueError(f"unknown sensor_model {self.sensor_model!r}")
+        if self.adaptive_resampler not in ("kld", "simple", "lvr"):
+            raise ValueError(f"unknown adaptive_resampler {self.adaptive_resampler!r}")
+        if self.likelihood_impl not in ("auto", "jnp", "pallas", "corr"):
+            raise ValueError(f"unknown likelihood_impl {self.likelihood_impl!r}")
+        if self.score_aggregation not in ("mean", "sum"):
+            raise ValueError(f"unknown score_aggregation {self.score_aggregation!r}")
+        if self.corr_window_cells and self.corr_window_cells % 8:
+            raise ValueError("corr_window_cells must be a multiple of 8")
 
     # -- derived, all static --
     @property

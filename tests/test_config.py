@@ -68,3 +68,18 @@ def test_from_reference_yaml_if_present():
     assert c.max_range == 5.0
     assert c.kld_bin_size_xy == 0.20
     assert c.min_particles == 100 and c.max_particles == 5000
+
+
+def test_config_enum_validation():
+    import pytest as _pytest
+
+    for kw in (
+        dict(sensor_model="sonar"),
+        dict(adaptive_resampler="bogus"),
+        dict(likelihood_impl="fft"),
+        dict(score_aggregation="max"),
+        dict(corr_window_cells=100),
+        dict(step=0),
+    ):
+        with _pytest.raises(ValueError):
+            FilterConfig(**kw)
