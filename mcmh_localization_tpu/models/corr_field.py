@@ -37,8 +37,10 @@ from mcmh_localization_tpu.models.sensor import BLIND_SCORE, log_likelihood_fiel
 def _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row):
     """(K, M) int32 slice-start offsets per theta-bin; invalid beams point
     at the all-zero band."""
+    # bin CENTERS (left edges would give a systematic half-bin heading bias
+    # that steadily drags tracking; lookup uses floor-to-bin below)
     thetas = (
-        jnp.arange(n_theta, dtype=jnp.float32) * (2.0 * jnp.pi / n_theta)
+        (jnp.arange(n_theta, dtype=jnp.float32) + 0.5) * (2.0 * jnp.pi / n_theta)
         - jnp.pi
     )
     c = jnp.cos(thetas)[:, None]
@@ -148,19 +150,27 @@ def correlation_field_scores(
     )
     in_map = grid_map.in_bounds(mx, my)
     if use_window:
-        mx = mx - ox0
-        my = my - oy0
-        in_map = in_map & (mx >= 0) & (mx < fw) & (my >= 0) & (my < fh)
-    mxc = jnp.clip(mx, 0, fw - 1)
-    myc = jnp.clip(my, 0, fh - 1)
+        mxw = mx - ox0
+        myw = my - oy0
+        in_window = (mxw >= 0) & (mxw < fw) & (myw >= 0) & (myw < fh)
+        mxc = jnp.clip(mxw, 0, fw - 1)
+        myc = jnp.clip(myw, 0, fh - 1)
+    else:
+        in_window = jnp.ones_like(in_map)
+        mxc = jnp.clip(mx, 0, fw - 1)
+        myc = jnp.clip(my, 0, fh - 1)
     totals = field[tbin, myc, mxc]          # ONE gather per particle
-    totals = jnp.where(in_map, totals, 0.0)
+    totals = jnp.where(in_map & in_window, totals, 0.0)
 
     count = jnp.sum(valid)
     if config.score_aggregation == "sum":
         score = totals
     else:
         score = totals / jnp.maximum(count, 1)
+    # out-of-map keeps the reference's zero-contribution score; particles
+    # that escaped the WINDOW (but are in-map) must not outscore real ones
+    # (scores are mostly negative) -> blind penalty
+    score = jnp.where(in_map & ~in_window, BLIND_SCORE, score)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 
