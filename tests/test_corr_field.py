@@ -195,3 +195,34 @@ def test_corr_windowed_large_map(default_config):
     )
     rho = np.corrcoef(exact, win)[0, 1]
     assert rho > 0.97, rho
+
+
+def test_corr_bin_center_alignment(house_map, default_config):
+    """Regression: the field must be built at theta-bin CENTERS.  For
+    particles whose heading sits exactly on a bin center, corr scores must
+    match the exact scorer almost perfectly (same cell quantization); with
+    edge-built fields this shows a systematic half-bin heading bias that
+    drags tracking (caught on map_house at 100k particles)."""
+    n_theta = 72
+    bin_w = 2 * np.pi / n_theta
+    theta_c = -np.pi + (10 + 0.5) * bin_w  # center of bin 10
+    pose = jnp.array([1.0, 1.0, theta_c])
+    ranges, angles = _scan_at(house_map, pose, m=120)
+    rng = np.random.default_rng(7)
+    particles = jnp.asarray(
+        np.stack([1.0 + rng.normal(0, 0.2, 100), 1.0 + rng.normal(0, 0.2, 100),
+                  np.full(100, theta_c)], axis=1).astype(np.float32)
+    )
+    exact = np.asarray(
+        likelihood_field_scores(particles, ranges, angles, house_map, default_config)
+    )
+    corr = np.asarray(
+        correlation_field_scores(
+            particles, ranges, angles, house_map, default_config, n_theta=n_theta
+        )
+    )
+    # residual +-1-cell double-truncation noise is fine; a half-bin heading
+    # bias is not: it shows up as a large MEAN deviation and low correlation
+    d = corr - exact
+    assert np.abs(d).mean() < 0.04, np.abs(d).mean()
+    assert np.abs(d.mean()) < 0.02, d.mean()
