@@ -141,6 +141,9 @@ class FilterConfig:
     # lever once the filter has converged.  Particles outside the window
     # score like fully-out-of-map particles (0 before averaging).
     corr_window_cells: int = 0
+    # field dtype: float32 (default) or bfloat16 (2x VPU packing in the
+    # Pallas build; ~0.5% score noise from bf16 accumulation over beams)
+    corr_field_dtype: str = "float32"
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)
@@ -158,6 +161,8 @@ class FilterConfig:
             raise ValueError(f"unknown likelihood_impl {self.likelihood_impl!r}")
         if self.score_aggregation not in ("mean", "sum"):
             raise ValueError(f"unknown score_aggregation {self.score_aggregation!r}")
+        if self.corr_field_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown corr_field_dtype {self.corr_field_dtype!r}")
         if self.corr_window_cells and self.corr_window_cells % 8:
             raise ValueError("corr_window_cells must be a multiple of 8")
 

@@ -105,6 +105,8 @@ def correlation_field_scores(
 
     # zero-pad + append an all-zero band of height h for invalid beams, plus
     # tile-alignment margins for the Pallas kernel's aligned window loads
+    if config.corr_field_dtype == "bfloat16":
+        log_field = log_field.astype(jnp.bfloat16)
     padded = jnp.pad(log_field, pad_cells)
     zero_band_row = padded.shape[0]
     padded = jnp.pad(padded, ((0, h + 8), (0, 128)))
@@ -159,7 +161,7 @@ def correlation_field_scores(
         in_window = jnp.ones_like(in_map)
         mxc = jnp.clip(mx, 0, fw - 1)
         myc = jnp.clip(my, 0, fh - 1)
-    totals = field[tbin, myc, mxc]          # ONE gather per particle
+    totals = field[tbin, myc, mxc].astype(jnp.float32)  # ONE gather/particle
     totals = jnp.where(in_map & in_window, totals, 0.0)
 
     count = jnp.sum(valid)

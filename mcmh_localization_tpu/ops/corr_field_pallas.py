@@ -61,7 +61,7 @@ def corr_field_pallas(
             cp.start()
             cp.wait()
             m = ox_ref.shape[1]
-            out_ref[0, :, :] = jnp.zeros((h, w), dtype=jnp.float32)
+            out_ref[0, :, :] = jnp.zeros((h, w), dtype=padded_vmem.dtype)
 
             def body(j, _):
                 oyj = oy_ref[kk, j]
@@ -82,13 +82,13 @@ def corr_field_pallas(
 
         pl.run_scoped(
             inner,
-            pltpu.VMEM(padded.shape, jnp.float32),
+            pltpu.VMEM(padded.shape, padded.dtype),
             pltpu.SemaphoreType.DMA,
         )
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, h, w), padded.dtype),
         interpret=interpret,
     )(ox, oy, padded)
