@@ -141,8 +141,9 @@ class FilterConfig:
     # lever once the filter has converged.  Particles outside the window
     # score like fully-out-of-map particles (0 before averaging).
     corr_window_cells: int = 0
-    # field dtype: float32 (default) or bfloat16 (2x VPU packing in the
-    # Pallas build; ~0.5% score noise from bf16 accumulation over beams)
+    # field dtype: float32 (default) or bfloat16 (halves field memory;
+    # ~0.5% score noise from bf16 accumulation over beams; currently uses
+    # the XLA field builder — Mosaic rejects bf16 dynamic rotates)
     corr_field_dtype: str = "float32"
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes

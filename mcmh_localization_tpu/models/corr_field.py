@@ -109,7 +109,7 @@ def correlation_field_scores(
         log_field = log_field.astype(jnp.bfloat16)
     padded = jnp.pad(log_field, pad_cells)
     zero_band_row = padded.shape[0]
-    padded = jnp.pad(padded, ((0, h + 8), (0, 128)))
+    padded = jnp.pad(padded, ((0, h + 16), (0, 128)))
 
     ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
 
@@ -122,7 +122,7 @@ def correlation_field_scores(
         oy0, ox0 = window_origin
         oy0 = jnp.clip(jnp.asarray(oy0, jnp.int32), 0, h - win)
         ox0 = jnp.clip(jnp.asarray(ox0, jnp.int32), 0, w - win)
-        region_h = 2 * pad_cells + win + 8
+        region_h = 2 * pad_cells + win + 16
         region_w = 2 * pad_cells + win + 128
         region = jax.lax.dynamic_slice(padded, (oy0, ox0), (region_h, region_w))
         # local zero band for invalid beams
@@ -136,7 +136,10 @@ def correlation_field_scores(
         fh, fw = h, w
 
     if field_impl == "auto":
-        field_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # the Pallas build's dynamic rotates only compile for f32 on current
+        # Mosaic; bf16 fields fall back to the XLA builder
+        f32 = config.corr_field_dtype == "float32"
+        field_impl = "pallas" if (jax.default_backend() == "tpu" and f32) else "xla"
     if field_impl == "pallas":
         from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
 

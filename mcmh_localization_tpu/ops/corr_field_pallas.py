@@ -26,8 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8     # sublane alignment
 LANE = 128  # lane alignment
+
+
+def _sublane(dtype) -> int:
+    """Min sublane tile: 8 for f32, 16 for bf16 (Mosaic tiling constraints)."""
+    import jax.numpy as _jnp
+
+    return 16 if dtype == _jnp.bfloat16 else 8
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -44,7 +50,8 @@ def corr_field_pallas(
     Requires padded.shape >= (max(oy)+h+SUB, max(ox)+w+LANE).
     """
     k = ox.shape[0]
-    hw = h + SUB
+    sub = _sublane(padded.dtype)
+    hw = h + sub
     ww = w + LANE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -66,9 +73,9 @@ def corr_field_pallas(
             def body(j, _):
                 oyj = oy_ref[kk, j]
                 oxj = ox_ref[kk, j]
-                by = pl.multiple_of((oyj // SUB) * SUB, SUB)
+                by = pl.multiple_of((oyj // sub) * sub, sub)
                 bx = pl.multiple_of((oxj // LANE) * LANE, LANE)
-                ry = oyj - by   # [0, 8)
+                ry = oyj - by   # [0, sub)
                 rx = oxj - bx   # [0, 128)
                 win = padded_vmem[pl.ds(by, hw), pl.ds(bx, ww)]
                 # want out[i, l] = win[i + ry, l + rx]: circular-rotate rows
