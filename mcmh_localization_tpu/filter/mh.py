@@ -24,11 +24,15 @@ def symmetric_mh(
     proposed_particles: jnp.ndarray,
     weights_post: jnp.ndarray,
     weights_pre: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Symmetric MH: alpha_i = min(1, w_post_i / w_pre_i); accept -> proposed
     particle + posterior weight, reject -> previous particle + prior weight.
     Matches mh_resampling (parallel_utils.py:208-236) including the
     w_pre <= 0 -> always-accept guard.
+
+    Returns ``(particles, weights, accept)`` — the boolean accept mask is the
+    authoritative acceptance record (pose comparison is ambiguous when the
+    proposal equals the previous pose, e.g. a stationary robot).
     """
     alpha = jnp.where(
         weights_pre > 0, jnp.minimum(1.0, weights_post / weights_pre), 1.0
@@ -37,7 +41,7 @@ def symmetric_mh(
     accept = u < alpha
     particles = jnp.where(accept[:, None], proposed_particles, prev_particles)
     weights = jnp.where(accept, weights_post, weights_pre)
-    return particles, weights
+    return particles, weights, accept
 
 
 def asymmetric_mh(
@@ -49,7 +53,7 @@ def asymmetric_mh(
     trans_forward: jnp.ndarray,
     trans_backward: jnp.ndarray,
     ref_compat_guard: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Asymmetric MH with full transition ratio:
 
         log alpha_i = [log w_post_i + log q(x|x')_i] - [log w_pre_i + log q(x'|x)_i]
@@ -60,6 +64,8 @@ def asymmetric_mh(
     ``alpha = min(1, exp(log_alpha)) if log_den > 0 else 1.0`` (:269): since
     log_den = log(w_pre * q_fwd) <= 0 for normalized inputs, that guard
     degenerates to always-accept.  Default False applies the proper MH ratio.
+
+    Returns ``(particles, weights, accept)`` like :func:`symmetric_mh`.
     """
     log_num = jnp.log(weights_post + _LOG_EPS) + jnp.log(trans_backward + _LOG_EPS)
     log_den = jnp.log(weights_pre + _LOG_EPS) + jnp.log(trans_forward + _LOG_EPS)
@@ -70,4 +76,4 @@ def asymmetric_mh(
     accept = u < alpha
     particles = jnp.where(accept[:, None], proposed_particles, prev_particles)
     weights = jnp.where(accept, weights_post, weights_pre)
-    return particles, weights
+    return particles, weights, accept

@@ -285,18 +285,18 @@ def _correct(
         weights_pre = softmax_weights(score(state.prev_particles), mask)
         if config.asymmetric:
             fwd, bwd = _transition_probabilities(state, config)
-            particles, weights = asymmetric_mh(
+            particles, weights, accepted = asymmetric_mh(
                 k_mh, state.prev_particles, state.particles,
                 weights_post, weights_pre, fwd, bwd,
                 ref_compat_guard=config.ref_compat_assym_guard,
             )
         else:
-            particles, weights = symmetric_mh(
+            particles, weights, accepted = symmetric_mh(
                 k_mh, state.prev_particles, state.particles,
                 weights_post, weights_pre,
             )
         accept_rate = jnp.sum(
-            jnp.where(mask, jnp.all(particles == state.particles, axis=1), False)
+            jnp.where(mask, accepted, False)
         ) / jnp.maximum(state.count, 1)
         state = state.replace(particles=particles)
     else:

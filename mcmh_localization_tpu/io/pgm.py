@@ -89,8 +89,11 @@ def load_map_yaml(yaml_path: str) -> Tuple[np.ndarray, dict]:
     occupied_thresh = float(meta_raw.get("occupied_thresh", 0.65))
     free_thresh = float(meta_raw.get("free_thresh", 0.196))
 
-    img = read_pgm(image).astype(np.float64)
-    maxval = 255.0 if img.dtype != np.dtype(">u2") else 65535.0
+    raster = read_pgm(image)
+    # capture the dtype BEFORE the float cast: after astype(float64) the >u2
+    # check is always false and 16-bit PGMs would be normalized by 255
+    maxval = 65535.0 if raster.dtype == np.dtype(">u2") else 255.0
+    img = raster.astype(np.float64)
     # map_server trinary conversion (map_server/src/map_server.cpp semantics)
     p = img / maxval if negate else (maxval - img) / maxval
     occ = np.full(img.shape, -1, dtype=np.int8)

@@ -125,9 +125,10 @@ def correlation_field_scores(
         region_h = 2 * pad_cells + win + 16
         region_w = 2 * pad_cells + win + 128
         region = jax.lax.dynamic_slice(padded, (oy0, ox0), (region_h, region_w))
-        # local zero band for invalid beams
+        # local zero band for invalid beams; margin covers the kernel's
+        # (win + sublane) aligned load for BOTH f32 (8) and bf16 (16)
         zero_band_local = region_h
-        region = jnp.pad(region, ((0, win + 8), (0, 0)))
+        region = jnp.pad(region, ((0, win + 16), (0, 0)))
         is_zero_band = oy >= zero_band_row
         oy = jnp.where(is_zero_band, zero_band_local, oy)
         padded = region

@@ -184,7 +184,12 @@ def raycast_beam_scores(
     """Per-particle log-likelihood under the beam (ray-cast) model, (N,).
 
     Matches compute_likelihoods_raycast (parallel_utils.py:151-201),
-    including its hard-coded defaults and the -inf blind-particle penalty.
+    including its hard-coded defaults.  Deviation: the reference's -inf
+    blind-particle penalty is replaced by the finite BLIND_SCORE (-50) the
+    likelihood-field path uses — an all--inf score vector would make
+    softmax_weights produce NaN (exp(-inf - (-inf))) and poison the filter
+    state; -50 keeps the zero-valid-beam scan a no-op like the reference's
+    lidar_callback early-return intends.
     Particles are processed in chunks to bound the (chunk, M, S) working set.
     """
     valid = jnp.isfinite(ranges) & (ranges < max_range)  # (M,)
@@ -211,4 +216,4 @@ def raycast_beam_scores(
         score = totals
     else:
         score = totals / jnp.maximum(count, 1)
-    return jnp.where(count > 0, score, -jnp.inf).astype(jnp.float32)
+    return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)

@@ -49,6 +49,20 @@ def test_map_yaml_trinary(tmp_path):
     np.testing.assert_array_equal(occ[0], [0, 0, 100])
 
 
+def test_map_yaml_trinary_16bit(tmp_path):
+    # 16-bit PGM must be normalized by 65535, not 255 (ADVICE.md io/pgm.py
+    # finding): 65022/256 ~= the 8-bit 254 "free", 52480/256 ~= 205 "unknown"
+    img16 = np.array([[65022, 0, 52480]], dtype=">u2")
+    path = str(tmp_path / "m16.pgm")
+    with open(path, "wb") as f:
+        f.write(b"P5\n3 1\n65535\n")
+        f.write(img16.tobytes())
+    with open(tmp_path / "m16.yaml", "w") as f:
+        f.write("image: ./m16.pgm\nresolution: 0.05\n")
+    occ, _ = load_map_yaml(str(tmp_path / "m16.yaml"))
+    np.testing.assert_array_equal(occ[0], [0, 100, -1])
+
+
 def test_device_edt_matches_scipy(house_occupancy):
     occupied = house_occupancy != 0
     ref = distance_transform_edt(~occupied)

@@ -18,7 +18,7 @@ def test_symmetric_mh_always_accept_when_better():
     prev, prop = _sets(100, np.random.default_rng(0))
     w_pre = jnp.full(100, 0.001)
     w_post = jnp.full(100, 0.01)  # 10x better -> alpha = 1
-    p, w = symmetric_mh(jax.random.PRNGKey(0), prev, prop, w_post, w_pre)
+    p, w, _acc = symmetric_mh(jax.random.PRNGKey(0), prev, prop, w_post, w_pre)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(prop))
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w_post))
 
@@ -29,16 +29,31 @@ def test_symmetric_mh_acceptance_rate():
     prev, prop = _sets(n, np.random.default_rng(1))
     w_pre = jnp.full(n, 0.01)
     w_post = jnp.full(n, 0.003)
-    p, _ = symmetric_mh(jax.random.PRNGKey(1), prev, prop, w_post, w_pre)
+    p, _, acc_mask = symmetric_mh(jax.random.PRNGKey(1), prev, prop, w_post, w_pre)
     acc = float(jnp.mean(jnp.all(p == prop, axis=1)))
     assert abs(acc - 0.3) < 0.02
+    # the returned mask is the authoritative record and must agree
+    assert acc == float(jnp.mean(acc_mask))
+
+
+def test_symmetric_mh_stationary_accept_mask():
+    # stationary robot: proposal == previous pose, so pose comparison cannot
+    # distinguish accept from reject — the returned mask must still report
+    # the true ~30% acceptance (ADVICE.md accept_rate finding).
+    n = 20000
+    prev, _ = _sets(n, np.random.default_rng(7))
+    prop = prev
+    w_pre = jnp.full(n, 0.01)
+    w_post = jnp.full(n, 0.003)
+    _, _, acc_mask = symmetric_mh(jax.random.PRNGKey(7), prev, prop, w_post, w_pre)
+    assert abs(float(jnp.mean(acc_mask)) - 0.3) < 0.02
 
 
 def test_symmetric_mh_zero_prior_accepts():
     prev, prop = _sets(8, np.random.default_rng(2))
     w_pre = jnp.zeros(8)
     w_post = jnp.full(8, 1e-9)
-    p, _ = symmetric_mh(jax.random.PRNGKey(2), prev, prop, w_post, w_pre)
+    p, _, _ = symmetric_mh(jax.random.PRNGKey(2), prev, prop, w_post, w_pre)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(prop))
 
 
@@ -46,7 +61,7 @@ def test_asymmetric_mh_ratio():
     # alpha = (w_post * q_back) / (w_pre * q_fwd) = (4*1)/(8*1) = 0.5
     n = 20000
     prev, prop = _sets(n, np.random.default_rng(3))
-    p, _ = asymmetric_mh(
+    p, _, _ = asymmetric_mh(
         jax.random.PRNGKey(3), prev, prop,
         jnp.full(n, 4e-3), jnp.full(n, 8e-3),
         jnp.full(n, 0.1), jnp.full(n, 0.1),
@@ -59,7 +74,7 @@ def test_asymmetric_mh_ref_compat_guard_always_accepts():
     # with the reference guard, log_den <= 0 -> alpha forced to 1
     n = 100
     prev, prop = _sets(n, np.random.default_rng(4))
-    p, _ = asymmetric_mh(
+    p, _, _ = asymmetric_mh(
         jax.random.PRNGKey(4), prev, prop,
         jnp.full(n, 1e-6), jnp.full(n, 0.9),
         jnp.full(n, 0.9), jnp.full(n, 1e-6),

@@ -6,6 +6,7 @@ import numpy as np
 
 from mcmh_localization_tpu.config import FilterConfig
 from mcmh_localization_tpu.models.sensor import (
+    BLIND_SCORE,
     likelihood_field_scores,
     log_likelihood_field,
     raycast,
@@ -156,4 +157,5 @@ def test_beam_scores_blind():
             jnp.zeros((1, 3)), jnp.array([np.inf, 11.0]), jnp.zeros(2), m
         )
     )
-    assert s[0] == -np.inf
+    # finite blind penalty (not the reference's -inf, which poisons softmax)
+    assert s[0] == BLIND_SCORE
