@@ -98,6 +98,14 @@ class FilterConfig:
     # after startup (a pure init transient; diverges short runs at N >= 2000).
     # False (default): initialize both to 1/num_particles (no transient).
     ref_compat_w_init: bool = False
+    # amcmh_localizer.py:282 computes the augmented-MCL fitness signal as
+    # w_avg = np.mean(normalized weights) = 1/count — CONSTANT for a fixed
+    # count, so p_random = 1 - w_fast/w_slow never reflects measurement fit
+    # and kidnapped-robot recovery cannot trigger.  False (default) uses the
+    # textbook Probabilistic Robotics signal: the mean RAW measurement
+    # likelihood mean(exp(score)) over active particles, which collapses on
+    # a kidnap and drives injection.  True reproduces the reference.
+    ref_compat_w_avg: bool = False
     # parallel_utils.py:269 guards the asymmetric-MH acceptance with
     # ``if log_den > 0 else 1.0`` — log_den is ~always <= 0, degenerating to
     # always-accept.  Default True REPRODUCES that reference behavior (the
@@ -141,10 +149,30 @@ class FilterConfig:
     # lever once the filter has converged.  Particles outside the window
     # score like fully-out-of-map particles (0 before averaging).
     corr_window_cells: int = 0
+    # coarse full-map fallback field for particles OUTSIDE the window:
+    # downsample factor over map cells (0 disables -> out-of-window
+    # particles take the blind -50 penalty, which kills augmented-MCL
+    # kidnapped-robot recovery while the window is on).  The coarse field
+    # is built once per scan at (H/f x W/f x corr_coarse_n_theta) — cheap
+    # next to the fine window — and gives out-of-window hypotheses a
+    # smoothed but honest score so injected particles can win.
+    corr_coarse_factor: int = 4
+    corr_coarse_n_theta: int = 36
     # field dtype: float32 (default) or bfloat16 (halves field memory;
     # ~0.5% score noise from bf16 accumulation over beams; currently uses
     # the XLA field builder — Mosaic rejects bf16 dynamic rotates)
     corr_field_dtype: str = "float32"
+    # --- pose-estimate mode (new; no reference equivalent) ---
+    # "mean"    = global weighted mean (amcmh_localizer.py:584-597) — the
+    #             reference behavior; meaningless while the cloud is
+    #             multimodal (global localization, kidnapped recovery).
+    # "cluster" = weighted mean over the top-weight cluster only: anchor at
+    #             the highest-weight particle, average particles within
+    #             (cluster_radius_xy, cluster_radius_theta) of it.  Converges
+    #             to "mean" once the filter is unimodal.
+    estimate_mode: str = "mean"
+    cluster_radius_xy: float = 0.5
+    cluster_radius_theta: float = 1.0
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)
@@ -166,6 +194,10 @@ class FilterConfig:
             raise ValueError(f"unknown corr_field_dtype {self.corr_field_dtype!r}")
         if self.corr_window_cells and self.corr_window_cells % 8:
             raise ValueError("corr_window_cells must be a multiple of 8")
+        if self.estimate_mode not in ("mean", "cluster"):
+            raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
+        if self.corr_coarse_factor < 0:
+            raise ValueError("corr_coarse_factor must be >= 0")
 
     # -- derived, all static --
     @property

@@ -60,6 +60,33 @@ def estimate_pose(
     return PoseEstimate(mean=mean, cov=cov)
 
 
+def estimate_pose_cluster(
+    particles: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    radius_xy: float = 0.5,
+    radius_theta: float = 1.0,
+) -> PoseEstimate:
+    """Mode-finding estimate: weighted mean over the top-weight cluster.
+
+    The reference publishes the GLOBAL weighted mean (amcmh_localizer.py
+    :584-597), which is meaningless while the cloud is multimodal (global
+    localization / kidnapped recovery — it averages across modes).  Here the
+    highest-weight particle anchors a (radius_xy, radius_theta) neighborhood
+    and the estimate is the weighted mean over that neighborhood only.  For a
+    unimodal converged cloud this equals the global mean; non-reference
+    extension, enabled with ``FilterConfig.estimate_mode="cluster"``.
+    """
+    w = jnp.where(mask, weights, 0.0) if mask is not None else weights
+    anchor = particles[jnp.argmax(w)]  # (3,) — one row gather
+    dx = particles[:, 0] - anchor[0]
+    dy = particles[:, 1] - anchor[1]
+    dth = jnp.abs(normalize_angle_about(particles[:, 2], anchor[2]))
+    near = (dx * dx + dy * dy <= radius_xy * radius_xy) & (dth <= radius_theta)
+    cmask = near if mask is None else (near & mask)
+    return estimate_pose(particles, weights, cmask)
+
+
 def covariance_6x6(cov3: jnp.ndarray) -> jnp.ndarray:
     """Pack a 3x3 (x, y, theta) covariance into the ROS flat 6x6 layout
     (x, y, z, rot_x, rot_y, rot_z) used at amcmh_localizer.py:606-620."""

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from mcmh_localization_tpu.config import FilterConfig
-from mcmh_localization_tpu.filter.estimate import PoseEstimate, estimate_pose
+from mcmh_localization_tpu.filter.estimate import (
+    PoseEstimate,
+    estimate_pose,
+    estimate_pose_cluster,
+)
 from mcmh_localization_tpu.filter.init import init_gaussian, init_uniform
 from mcmh_localization_tpu.filter.mh import asymmetric_mh, symmetric_mh
 from mcmh_localization_tpu.filter.state import FilterState, make_state
@@ -280,7 +284,8 @@ def _correct(
         # the SAME origin for both score calls so XLA CSE builds one field
         wo = _window_origin(state, grid_map, config)
         score = functools.partial(score, window_origin=wo)
-    weights_post = softmax_weights(score(state.particles), mask)
+    s_post = score(state.particles)
+    weights_post = softmax_weights(s_post, mask)
     if config.use_mh:
         weights_pre = softmax_weights(score(state.prev_particles), mask)
         if config.asymmetric:
@@ -307,7 +312,33 @@ def _correct(
     weights = jnp.where(mask, weights, 0.0)
     weights = weights / jnp.maximum(jnp.sum(weights), 1e-30)
     if config.use_adaptive:
-        w_avg = jnp.sum(weights) / jnp.maximum(state.count, 1)  # mean over active
+        if config.ref_compat_w_avg:
+            # reference quirk (amcmh_localizer.py:282): mean of NORMALIZED
+            # weights = 1/count — fit-blind, recovery never triggers
+            w_avg = jnp.sum(weights) / jnp.maximum(state.count, 1)
+        else:
+            # textbook augmented MCL: mean raw measurement likelihood of the
+            # current set — collapses on a kidnap, driving injection.  The
+            # signal is always the PER-BEAM geometric-mean likelihood
+            # (exp of the per-beam mean log): scale-free in the beam count,
+            # bounded in [1e-6, ~e], so one bad scan cannot crash w_fast by
+            # orders of magnitude and cause an injection storm (which the
+            # raw exp(sum) of score_aggregation="sum" would).
+            if config.step > 1:
+                sig_ranges = ranges[:: config.step]
+            else:
+                sig_ranges = ranges
+            n_beams = jnp.sum(
+                jnp.isfinite(sig_ranges) & (sig_ranges < config.max_range)
+            )
+            per_beam = (
+                s_post / jnp.maximum(n_beams, 1)
+                if config.score_aggregation == "sum"
+                else s_post
+            )
+            w_avg = jnp.sum(
+                jnp.where(mask, jnp.exp(per_beam), 0.0)
+            ) / jnp.maximum(state.count, 1)
         state = state.replace(
             w_slow=state.w_slow + config.alpha_slow * (w_avg - state.w_slow),
             w_fast=state.w_fast + config.alpha_fast * (w_avg - state.w_fast),
@@ -315,7 +346,14 @@ def _correct(
     state = state.replace(weights=weights)
 
     # -- estimate BEFORE resampling (:327)
-    est = estimate_pose(state.particles, state.weights, mask)
+    if config.estimate_mode == "cluster":
+        est = estimate_pose_cluster(
+            state.particles, state.weights, mask,
+            radius_xy=config.cluster_radius_xy,
+            radius_theta=config.cluster_radius_theta,
+        )
+    else:
+        est = estimate_pose(state.particles, state.weights, mask)
     ess = effective_sample_size(state.weights)
 
     # -- resample (:329-335)

@@ -66,6 +66,58 @@ def _build_field_xla(padded, ox, oy, h, w):
     return jax.lax.map(lambda o: one_bin(o[0], o[1]), (ox, oy))
 
 
+def _coarse_field_scores(
+    particles, u, v, valid, log_field, grid_map, config, res
+):
+    """Full-map fallback scores at ``corr_coarse_factor`` downsampling.
+
+    Gives out-of-window (but in-map) particles an honest smoothed score so
+    augmented-MCL injection can recover a kidnapped robot while the fine
+    field only covers the window (VERDICT round-1: out-of-window particles
+    scored -50 and died instantly, neutralizing the recovery of
+    amcmh_localizer.py:496-527).
+
+    The coarse log field is the f x f block MAX of the fine log field: an
+    optimistic (admissible) bound — "somewhere in this block the fit is this
+    good".  Mean pooling was tried first and systematically handicaps
+    out-of-window hypotheses against the in-window cluster's fine scores,
+    so a kidnapped-robot's injected true-pose particles could never win;
+    max pooling keeps them alive until the window migrates and fine scoring
+    calibrates them.  Build cost: corr_coarse_n_theta small dense fields,
+    independent of particle count.
+    """
+    f = config.corr_coarse_factor
+    kc = config.corr_coarse_n_theta
+    h, w = log_field.shape
+    hc, wc = -(-h // f), -(-w // f)
+    lf = jnp.pad(
+        log_field.astype(jnp.float32),
+        ((0, hc * f - h), (0, wc * f - w)),
+        constant_values=-13.815511,  # log(1e-6), the probability floor
+    )
+    coarse_lf = lf.reshape(hc, f, wc, f).max(axis=(1, 3))
+
+    res_c = f * res  # concrete: res is a python float at trace time
+    pad_c = int(-(-config.max_range // res_c)) + 2
+    padded = jnp.pad(coarse_lf, pad_c)
+    zero_band_row = padded.shape[0]
+    padded = jnp.pad(padded, ((0, hc), (0, 0)))
+    ox, oy = _bin_offsets(u, v, valid, 1.0 / res_c, kc, pad_c, zero_band_row)
+    field = _build_field_xla(padded, ox, oy, hc, wc)
+
+    mx = ((particles[:, 0] - grid_map.origin[0]) / res_c).astype(jnp.int32)
+    my = ((particles[:, 1] - grid_map.origin[1]) / res_c).astype(jnp.int32)
+    tbin = (
+        ((particles[:, 2] + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)
+        % kc
+    )
+    mx = jnp.clip(mx, 0, wc - 1)
+    my = jnp.clip(my, 0, hc - 1)
+    from mcmh_localization_tpu.ops.gather_pallas import gather_3d
+
+    return gather_3d(field.astype(jnp.float32), tbin, my, mx)
+
+
 def correlation_field_scores(
     particles: jnp.ndarray,
     ranges: jnp.ndarray,
@@ -76,6 +128,7 @@ def correlation_field_scores(
     n_theta: int = 180,
     field_impl: str = "auto",  # "auto" | "pallas" | "xla"
     window_origin: tuple | None = None,  # (oy0, ox0) cell coords, traced ok
+    shard_bins_axis: str | None = None,  # shard_map axis: theta-sharded build
 ) -> jnp.ndarray:
     """Per-particle scores via one field lookup each; same normalization and
     blind penalty as the exact scorer (parallel_utils.py:144-147).
@@ -141,7 +194,28 @@ def correlation_field_scores(
         # Mosaic; bf16 fields fall back to the XLA builder
         f32 = config.corr_field_dtype == "float32"
         field_impl = "pallas" if (jax.default_backend() == "tpu" and f32) else "xla"
-    if field_impl == "pallas":
+    if shard_bins_axis is not None:
+        # theta-bin-sharded build (multi-chip): each device builds K/D bins
+        # (the build cost is embarrassingly parallel over bins) and one
+        # all_gather of the small field replaces D-fold replicated work;
+        # requires n_theta % n_devices == 0
+        ndev = jax.lax.psum(1, shard_bins_axis)
+        ax = jax.lax.axis_index(shard_bins_axis)
+        kd = n_theta // ndev
+        ox_l = jax.lax.dynamic_slice_in_dim(ox, ax * kd, kd, 0)
+        oy_l = jax.lax.dynamic_slice_in_dim(oy, ax * kd, kd, 0)
+        if field_impl == "pallas":
+            from mcmh_localization_tpu.ops.corr_field_pallas import (
+                corr_field_pallas,
+            )
+
+            field_l = corr_field_pallas(padded, ox_l, oy_l, fh, fw)
+        else:
+            field_l = _build_field_xla(padded, ox_l, oy_l, fh, fw)
+        field = jax.lax.all_gather(
+            field_l, shard_bins_axis, axis=0, tiled=True
+        )
+    elif field_impl == "pallas":
         from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
 
         field = corr_field_pallas(padded, ox, oy, fh, fw)
@@ -165,18 +239,32 @@ def correlation_field_scores(
         in_window = jnp.ones_like(in_map)
         mxc = jnp.clip(mx, 0, fw - 1)
         myc = jnp.clip(my, 0, fh - 1)
-    totals = field[tbin, myc, mxc].astype(jnp.float32)  # ONE gather/particle
+    # ONE lookup/particle via the MXU gather kernel (clustered rows when
+    # tracking -> 1-2 chunk visits; ops/gather_pallas.py)
+    from mcmh_localization_tpu.ops.gather_pallas import gather_3d
+
+    totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc)
     totals = jnp.where(in_map & in_window, totals, 0.0)
+
+    use_coarse = use_window and config.corr_coarse_factor > 0
+    if use_coarse:
+        coarse_totals = _coarse_field_scores(
+            particles, u, v, valid, log_field, grid_map, config, res
+        )
+        totals = jnp.where(in_map & ~in_window, coarse_totals, totals)
 
     count = jnp.sum(valid)
     if config.score_aggregation == "sum":
         score = totals
     else:
         score = totals / jnp.maximum(count, 1)
-    # out-of-map keeps the reference's zero-contribution score; particles
-    # that escaped the WINDOW (but are in-map) must not outscore real ones
-    # (scores are mostly negative) -> blind penalty
-    score = jnp.where(in_map & ~in_window, BLIND_SCORE, score)
+    # out-of-map keeps the reference's zero-contribution score; in-map
+    # particles that escaped the WINDOW score via the coarse full-map field
+    # (honest smoothed score -> kidnapped-robot recovery works), or take the
+    # blind penalty when the coarse fallback is disabled (scores are mostly
+    # negative, so they must not outscore real ones)
+    if not use_coarse:
+        score = jnp.where(in_map & ~in_window, BLIND_SCORE, score)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 

@@ -140,13 +140,15 @@ def motion_density(
     particles_curr: jnp.ndarray,
     delta: jnp.ndarray,
     alpha: Tuple[float, float, float, float],
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """p(x_t | x_{t-1}, u_t) for all particle pairs, normalized to sum 1.
 
     Matches motion_model_odometry_parallel (parallel_utils.py:282-330): the
     per-particle implied (rot1_hat, trans_hat, rot2_hat) is scored against
     the observed delta under the alpha-scaled Gaussians, then the vector is
-    normalized across particles.
+    normalized across particles.  ``normalize=False`` returns the raw
+    densities (the distributed step normalizes globally with a psum).
     """
     dx = particles_curr[:, 0] - particles_prev[:, 0]
     dy = particles_curr[:, 1] - particles_prev[:, 1]
@@ -163,5 +165,7 @@ def motion_density(
         * _gaussian_prob(delta[1] - trans_hat, s_trans)
         * _gaussian_prob(normalize_angle(delta[2] - rot2_hat), s_rot2)
     )
+    if not normalize:
+        return p
     total = jnp.sum(p)
     return jnp.where(total > 0, p / total, p)

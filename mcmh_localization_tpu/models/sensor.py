@@ -110,11 +110,15 @@ def likelihood_field_scores(
     mx, my = grid_map.world_to_grid(lx, ly)
     in_map = grid_map.in_bounds(mx, my)
 
-    flat = log_field.reshape(-1)
-    idx = jnp.clip(my, 0, grid_map.height - 1) * grid_map.width + jnp.clip(
-        mx, 0, grid_map.width - 1
-    )
-    contrib = jnp.take(flat, idx)  # (N, M) gather — the hot op
+    # (N, M) table lookup — the hot op; MXU gather kernel on TPU at scale
+    # (ops/gather_pallas.py), XLA take below the crossover / on CPU
+    from mcmh_localization_tpu.ops.gather_pallas import gather_2d
+
+    myc = jnp.clip(my, 0, grid_map.height - 1)
+    mxc = jnp.clip(mx, 0, grid_map.width - 1)
+    contrib = gather_2d(
+        log_field, myc.reshape(-1), mxc.reshape(-1)
+    ).reshape(my.shape)
     contrib = jnp.where(valid[None, :] & in_map, contrib, 0.0)
 
     count = jnp.sum(valid)

@@ -1,0 +1,186 @@
+"""Fast small-table random gather — the TPU per-particle lookup primitive.
+
+XLA lowers ``table[idx]`` to a serial ~7 ns/element loop on TPU — the single
+slowest primitive in the filter (motion validity lookups, correlation-field
+lookups; replaces the gathers behind parallel_utils.py:85-149's per-beam
+table reads and :369-413's validity checks at scale).
+
+This kernel reformulates the gather as MXU work, measured ~1.1-1.4 ns/elem
+on v5e (scripts/microbench6.py lineage):
+
+    out[e] = T[row[e], lane[e]]
+           = sum_r  onehot[r, e] * T[r, lane[e]]
+    D      = T^T @ OH          # (128, E): D[l, e] = T[row[e], l]   (MXU)
+    out[e] = sum_l D[l, e] * [l == lane[e]]                         (VPU)
+
+Everything stays in Mosaic-friendly NATURAL layout: index tiles (SUB, 128)
+flatten to (1, E) along lanes (supported), one-hots are broadcast compares
+against iota, and the row dimension is processed in 128-row chunks with a
+per-tile dynamic [min, max] chunk window — clustered indices (a tracking
+filter's cloud) touch only 1-2 chunks regardless of table height.
+
+Precision: the table transits the MXU in bfloat16.  ``precision="split"``
+(default) writes the table as hi + lo bf16 planes (two matmuls), giving
+~1e-3 relative error — required for correlation-field values (|v| up to
+1e4, where raw bf16's 8-bit mantissa would distort log-weights by O(1)).
+``precision="bf16"`` is exact for 0/1 tables (occupancy masks).
+
+Out-of-range rows contribute no one-hot mass and return 0.0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RC = 128   # row chunk (one-hot matmul K dimension)
+SUB = 64   # index-tile sublanes per program: SUB*128 elements
+
+
+def _kernel(tt_hi_ref, tt_lo_ref, rows_ref, lanes_ref, out_ref, *, chunks,
+            split):
+    e = SUB * 128
+    rows_flat = rows_ref[:].reshape(1, e)
+    lanes_flat = lanes_ref[:].reshape(1, e)
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, e), 0) == lanes_flat
+    ).astype(jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (RC, e), 0)
+
+    def chunk_body(c, acc):
+        oh = (riota + c * RC == rows_flat).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(
+            tt_hi_ref[:, pl.ds(c * RC, RC)], oh,
+            preferred_element_type=jnp.float32,
+        )
+        if split:
+            acc = acc + jnp.dot(
+                tt_lo_ref[:, pl.ds(c * RC, RC)], oh,
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    # dynamic chunk window: only visit chunks this tile's rows touch
+    lo = jnp.clip(jnp.min(rows_flat) // RC, 0, chunks - 1)
+    hi = jnp.clip(jnp.max(rows_flat) // RC, 0, chunks - 1)
+    d = jax.lax.fori_loop(
+        lo, hi + 1, chunk_body, jnp.zeros((128, e), jnp.float32)
+    )
+    out_ref[:] = jnp.sum(d * mask, axis=0, keepdims=True).reshape(SUB, 128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret")
+)
+def gather_rows_lanes(
+    table: jnp.ndarray,      # (R, 128) float32
+    rows: jnp.ndarray,       # (N,) int32 in [0, R)
+    lanes: jnp.ndarray,      # (N,) int32 in [0, 128)
+    precision: str = "split",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[i] = table[rows[i], lanes[i]], (N,) float32."""
+    r, w = table.shape
+    assert w == 128, "core gather expects a 128-lane table"
+    n = rows.shape[0]
+
+    rpad = (-r) % RC
+    table = jnp.pad(table, ((0, rpad), (0, 0)))
+    chunks = (r + rpad) // RC
+
+    tt = table.T  # (128, R')
+    split = precision == "split"
+    tt_hi = tt.astype(jnp.bfloat16)
+    tt_lo = (tt - tt_hi.astype(jnp.float32)).astype(jnp.bfloat16) if split \
+        else tt_hi  # unused when not split
+
+    npad = (-n) % (SUB * 128)
+    # edge-pad so padding doesn't widen the dynamic chunk window
+    rows_p = jnp.pad(rows.astype(jnp.int32), (0, npad), mode="edge")
+    lanes_p = jnp.pad(lanes.astype(jnp.int32), (0, npad), mode="edge")
+    m = (n + npad) // 128
+    rows2 = rows_p.reshape(m, 128)
+    lanes2 = lanes_p.reshape(m, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunks=chunks, split=split),
+        grid=(m // SUB,),
+        in_specs=[
+            pl.BlockSpec((128, chunks * RC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, chunks * RC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
+        interpret=interpret,
+    )(tt_hi, tt_lo, rows2, lanes2)
+    return out.reshape(-1)[:n]
+
+
+# Below the crossover the XLA serial gather's fixed cost wins; above it the
+# kernel's ~5x per-element advantage dominates (v5e measurement).
+_MIN_N = 16384
+
+
+def _use_kernel(n: int, interpret) -> bool:
+    if interpret is not None:
+        return True
+    return jax.default_backend() == "tpu" and n >= _MIN_N
+
+
+def gather_2d(
+    table: jnp.ndarray,      # (H, W) float32
+    y: jnp.ndarray,          # (N,) int32
+    x: jnp.ndarray,          # (N,) int32
+    precision: str = "split",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """out[i] = table[y[i], x[i]]; indices assumed in-bounds (clip upstream).
+
+    Wide tables fold column chunks into the row index:
+    rows = y * ceil(W/128) + x // 128, lanes = x % 128.
+    """
+    h, w = table.shape
+    n = y.shape[0]
+    if not _use_kernel(n, interpret):
+        return (
+            table.reshape(-1)
+            .at[y * w + x]
+            .get(mode="promise_in_bounds")
+            .astype(jnp.float32)
+        )
+    cw = -(-w // 128)
+    padded = jnp.pad(table.astype(jnp.float32), ((0, 0), (0, cw * 128 - w)))
+    folded = padded.reshape(h * cw, 128)
+    rows = y * cw + x // 128
+    lanes = x % 128
+    return gather_rows_lanes(
+        folded, rows, lanes, precision=precision,
+        interpret=bool(interpret),
+    )
+
+
+def gather_3d(
+    table: jnp.ndarray,      # (K, H, W) float32
+    k: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    precision: str = "split",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """out[i] = table[k[i], y[i], x[i]] via 2D folding of the leading axes."""
+    kk, h, w = table.shape
+    return gather_2d(
+        table.reshape(kk * h, w), k * h + y, x,
+        precision=precision, interpret=interpret,
+    )

@@ -1,16 +1,17 @@
-"""Round-2 probe #2: build the real fast-gather kernel candidates.
+"""Round-2 probe #2: candidate fast-gather kernels + resampler primitives.
 
-microbench5 found: pallas lane-dim dynamic_gather ~free; onehot-matmul
-0.45 ns/elem; XLA take 15 ns/elem (147k table) but ~0 for 8-entry tables.
+microbench5 found: pallas lane-dim dynamic_gather ~free; onehot-matmul flat
+gather 0.45 ns/elem; XLA take 15 ns/elem (147k table).
 
-Here:
-  1. pallas 2D-table gather via transposed lane-gather + chunk select-scan
-     (table (C*128, 128): out[e] = T[row[e], lane[e]])   <- the design bet
-  2. XLA flat-take crossover: T = 32 / 128 / 1024 / 16384
-  3. monotone (sorted) row gather (N,3) — the resample gather
-  4. scatter .at[].max of N int32 (resampler's segment scatter)
-  5. associative_scan fill-forward over (N, 4)
-  6. hash scatter-min (KLD first-occurrence) at N=1M
+Probes here:
+  1. XLA flat-take crossover: T = 32 / 128 / 1024 / 16384
+  2. pallas "rowmm" 2D-table gather: out[e] = T[row[e], lane[e]] via chunked
+     one-hot matmul over rows (MXU) + take_along_axis over lanes, with a
+     per-chunk @pl.when skip when no element in the tile needs the chunk.
+     Tables: 384x128 (occupancy-like), 2048x128 (theta-window field-like).
+  3. same with clustered rows (tracking regime) to measure the chunk-skip win
+  4. monotone (sorted) row gather (N,3) — the resample gather, XLA
+  5. scatter .at[].max, cummax, associative_scan fill, hash scatter-min
 """
 
 import os
@@ -57,116 +58,79 @@ def timed_chain(name, step_fn, iters=20, n=N):
 
 
 # ---------------------------------------------------------------------------
-# 1. 2D-table gather kernel: T is (C, 128, 128) "chunks"; element e wants
-#    T[chunk[e], sub[e], lane[e]].  Work in transposed space per index tile:
-#    out_t[l, s] = chunk_c_t[l, rsub_t[l, s]] summed over matching chunks.
+# rowmm gather: grid over index tiles of (SUB, 128); rows chunked by RC=128.
 # ---------------------------------------------------------------------------
-IDXTILE = 256  # sublanes of indices per program step (x 128 lanes)
+SUB = 32          # sublanes of indices per program (32*128 = 4096 elements)
+RC = 128          # row-chunk
 
 
-def _gather2d_kernel(tbl_ref, row_ref, lane_ref, out_ref, *, chunks):
-    rows = row_ref[:]          # (IDXTILE, 128) int32, in [0, chunks*128)
-    lanes = lane_ref[:]        # (IDXTILE, 128) int32, in [0, 128)
-    sub = rows & 127           # row within chunk
-    cid = rows >> 7            # chunk id
-    acc = jnp.zeros(rows.shape, dtype=tbl_ref.dtype)
-    # first gather the right LANE within each (sub-resolved later) row?
-    # No: compose the two lane-gathers in transposed space:
-    #   step 1 (transposed): rowvals_t[l, s] = T_c^T[l, sub[s, l]]
-    #   step 2: that already used lane l = lanes? Not yet.
-    # Simpler exact composition per chunk c:
-    #   A = take_along_axis(T_c, sub, axis=0)  -- sublane gather (may fail)
-    # so instead: transpose T_c once (static), transpose sub, lane-gather,
-    # transpose back, then second lane-gather with lanes.
-    for c in range(chunks):
-        tc_t = tbl_ref[c].T                      # (128, 128) lanes-major
-        sub_t = sub.T                            # (128, IDXTILE)
-        rv_t = jnp.take_along_axis(
-            jnp.broadcast_to(tc_t[:, None, :], (128, 1, 128))[:, 0, :],
-            sub_t, axis=1)                       # rv_t[l, s] = T_c[sub[s,l], l]
-        rv = rv_t.T                              # rv[s, l] = T_c[sub[s,l], l]
-        # we want T_c[sub[s,l], lanes[s,l]] — second lane gather ON rv rows?
-        # rv[s, :] holds T_c[sub[s, :], :] diagonal-style; not separable.
-        # Fall back: lane-gather FIRST: B[s,l] = T_c[s mod?..]
-        acc = acc + jnp.where(cid == c, rv, 0.0)
-    out_ref[:] = acc
+def _rowmm_kernel(tbl_ref, row_ref, lane_ref, out_ref, *, chunks, skip):
+    rows = row_ref[:]                      # (SUB, 128) int32
+    lanes = lane_ref[:]                    # (SUB, 128) int32
+    e_rows = rows.reshape(SUB * 128, 1)    # element-major
+    acc = jnp.zeros((SUB * 128, 128), dtype=jnp.float32)
+
+    def body(c, acc):
+        local = e_rows - c * RC
+        oh = ((local >= 0) & (local < RC) &
+              (local == jax.lax.broadcasted_iota(
+                  jnp.int32, (1, RC), 1))).astype(jnp.bfloat16)
+        part = jnp.dot(oh, tbl_ref[pl.ds(c * RC, RC), :].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return acc + part
+
+    if skip:
+        cid = rows >> 7  # RC = 128
+        lo = jnp.min(cid)
+        hi = jnp.max(cid)
+        acc = jax.lax.fori_loop(lo, hi + 1, body, acc)
+    else:
+        acc = jax.lax.fori_loop(0, chunks, body, acc)
+
+    # final lane gather must be 2D with FULL-shape indices (Mosaic lowers
+    # gather only when indices.shape == in.shape + (1,)); broadcast the lane
+    # index across the row and keep column 0
+    flat_lanes = jnp.broadcast_to(
+        lanes.reshape(SUB * 128, 1), (SUB * 128, 128)
+    )
+    picked = jnp.take_along_axis(acc, flat_lanes, axis=1)  # (SUB*128, 128)
+    out_ref[:] = picked[:, 0:1].reshape(SUB, 128)
 
 
-# The separable-composition subtlety: T[sub[s,l], lane[s,l]] requires both
-# indices per element.  Correct 2-pass trick: pass 1 gathers along LANES with
-# `lanes`, giving P[s,l] = T_c[s', lanes[s,l]] for row s' = s (wrong row);
-# that's also not separable.  The WORKING exact method: linearize to a
-# (chunks*128,128)->(128,128)-chunked 1-D problem per lane:
-#   Pre-shuffle the TABLE so the lane axis is the element's own lane.
-# => do it the other way: gather row-first is impossible separably, so
-#    use ONE-HOT MATMUL for the row and lane-gather for the column:
-#    R = onehot(rows, C*128) @ T.reshape(C*128, 128)   (MXU)
-#    out[e] = R[e, lanes[e]]                           (lane gather)
-def _rowmm_lanegather_kernel(tbl_ref, row_ref, lane_ref, out_ref, *, rows_n):
-    rows = row_ref[:]                            # (IDXTILE, 128)
-    lanes = lane_ref[:]
-    flat_rows = rows.reshape(IDXTILE * 128 // 128, 128)  # same shape
-    # build one-hot in pieces to bound register pressure: (IDXTILE*128, rows_n)
-    # is too big; process in groups of 8 sublanes (1024 elements).
-    acc = jnp.zeros((IDXTILE, 128), dtype=tbl_ref.dtype)
-    tbl = tbl_ref[:]                             # (rows_n, 128)
-    G = 512  # elements per matmul group along sublane axis of idx tile
-    for g in range(0, IDXTILE * 128, G * 128 // 128):
-        pass
-    # simpler: one matmul over the whole tile: elements axis = IDXTILE*128
-    e_rows = rows.reshape(-1)                    # can't: 1D iota issues; keep 2D
-    # one-hot via broadcast compare: (IDXTILE*128, rows_n) bf16
-    oh = (rows.reshape(IDXTILE * 128, 1) ==
-          jax.lax.broadcasted_iota(jnp.int32, (1, rows_n), 1)
-          ).astype(jnp.bfloat16)
-    R = jnp.dot(oh, tbl.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)  # (IDXTILE*128, 128)
-    R = R.reshape(IDXTILE, 128, 128)
-    # out[s,l] = R[s, l, lanes[s,l]] -> take_along_axis axis=2
-    out_ref[:] = jnp.take_along_axis(R, lanes[:, :, None].astype(jnp.int32),
-                                     axis=2)[:, :, 0]
-
-
-def make_gather2d_rowmm(chunks):
-    rows_n = chunks * 128
+def make_rowmm(rows_n, clustered=False, skip=False):
     tbl = jax.random.uniform(jax.random.PRNGKey(1), (rows_n, 128),
                              dtype=jnp.float32)
-    row = jax.random.randint(jax.random.PRNGKey(2), (N // 128, 128), 0, rows_n)
-    lane = jax.random.randint(jax.random.PRNGKey(3), (N // 128, 128), 0, 128)
+    if clustered:
+        base = jax.random.randint(jax.random.PRNGKey(2), (N // 128, 1), 0,
+                                  max(rows_n - 64, 1))
+        off = jax.random.randint(jax.random.PRNGKey(3), (N // 128, 128), 0, 64)
+        row = jnp.minimum(base + off, rows_n - 1)
+    else:
+        row = jax.random.randint(jax.random.PRNGKey(2), (N // 128, 128), 0,
+                                 rows_n)
+    lane = jax.random.randint(jax.random.PRNGKey(4), (N // 128, 128), 0, 128)
+    chunks = rows_n // RC
 
     @jax.jit
     def run(c):
         out = pl.pallas_call(
-            functools.partial(_rowmm_lanegather_kernel, rows_n=rows_n),
-            grid=(N // 128 // IDXTILE,),
+            functools.partial(_rowmm_kernel, chunks=chunks, skip=skip),
+            grid=(N // 128 // SUB,),
             in_specs=[
                 pl.BlockSpec((rows_n, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((IDXTILE, 128), lambda i: (i, 0),
+                pl.BlockSpec((SUB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((IDXTILE, 128), lambda i: (i, 0),
+                pl.BlockSpec((SUB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((IDXTILE, 128), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((SUB, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N // 128, 128), jnp.float32),
         )(tbl + c * 1e-30, row, lane)
         return jnp.sum(out) * 1e-30
 
     return run
-
-
-# lane-gather select-scan: out[s,l] = T[row[s,l], lane[s,l]] where the table
-# is pre-TRANSPOSED per chunk: Tt[c] = T[c*128:(c+1)*128].T  (lane=row idx).
-# per chunk: g_c[s,l] = take_along_axis over lanes of Tt_rows selected by...
-# Exact separable trick: first use lane-gather with ROW index into Tt:
-#   A_c[s,l] = Tt_c[lane[s,l]??]  -- needs in[s, idx]: source sublane = s.
-# Source sublane must equal output sublane; our source "sublane" after
-# transpose is the table COLUMN = element's lane index... which varies per
-# element.  So pure lane-gather composition can't do scattered 2D exactly;
-# keep rowmm as the exact kernel and ALSO try the diagonal trick:
-#   B_c = take_along_axis(Tt_c_broadcast rows aligned to lane[s,l]) ...
-# (skipped — rowmm number decides.)
 
 
 def make_xla_take(table_n):
@@ -268,13 +232,15 @@ def main():
     timed_chain("XLA flat take T=128", make_xla_take(128))
     timed_chain("XLA flat take T=1024", make_xla_take(1024))
     timed_chain("XLA flat take T=16384", make_xla_take(16384))
-    timed_chain("pallas rowmm+lanegather 2D (3 chunks=384 rows)",
-                make_gather2d_rowmm(3))
-    timed_chain("pallas rowmm+lanegather 2D (24 chunks)",
-                make_gather2d_rowmm(24))
-    timed_chain("pallas rowmm+lanegather 2D (120 chunks)",
-                make_gather2d_rowmm(120))
-    timed_chain("monotone row gather (N,3)", make_monotone_row_gather())
+    timed_chain("rowmm 2D gather 384x128 (occupancy)", make_rowmm(384))
+    timed_chain("rowmm 2D gather 2048x128 (field)", make_rowmm(2048))
+    timed_chain("rowmm 2048x128 skip, random rows",
+                make_rowmm(2048, skip=True))
+    timed_chain("rowmm 2048x128 skip, clustered rows",
+                make_rowmm(2048, clustered=True, skip=True))
+    timed_chain("rowmm 384x128 skip, clustered",
+                make_rowmm(384, clustered=True, skip=True))
+    timed_chain("monotone row gather (N,3) XLA", make_monotone_row_gather())
     timed_chain("scatter at[].max 1M", make_scatter_max())
     timed_chain("cummax 1M", make_cummax())
     timed_chain("assoc_scan fill-forward (N,4)", make_assoc_fill())

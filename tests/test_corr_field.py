@@ -249,3 +249,89 @@ def test_corr_bf16_field_close_to_f32(house_map, default_config):
     )
     assert np.abs(bf16 - f32).mean() < 0.02
     assert np.corrcoef(bf16, f32)[0, 1] > 0.999
+
+
+def test_corr_coarse_fallback_scores_out_of_window(house_map, default_config):
+    # with the coarse fallback on (default), an out-of-window particle at the
+    # TRUE pose must outscore an out-of-window particle inside a wall, and
+    # both must beat the blind -50 (VERDICT round-1 weakness #4)
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=90)
+    cfg = default_config.replace(corr_window_cells=64)
+    # window centered far away from both test particles
+    res = 0.05
+    ox0 = int((-3.0 - (-4.8)) / res) - 32
+    oy0 = int((-3.0 - (-4.8)) / res) - 32
+    parts = jnp.array(
+        [
+            [1.0, 1.0, 0.4],     # true pose (out of window)
+            [-4.75, 2.0, 0.4],   # on/near the west wall (out of window)
+            [-3.0, -3.0, 0.4],   # inside the window
+        ],
+        dtype=jnp.float32,
+    )
+    s = np.asarray(
+        correlation_field_scores(
+            parts, ranges, angles, house_map, cfg, n_theta=64,
+            window_origin=(oy0, ox0),
+        )
+    )
+    assert s[0] > -50.0 and s[1] > -50.0  # finite coarse scores
+    assert s[0] > s[1], s                  # true pose wins among coarse
+    # disabling the fallback restores the blind penalty
+    s_off = np.asarray(
+        correlation_field_scores(
+            parts, ranges, angles, house_map,
+            cfg.replace(corr_coarse_factor=0), n_theta=64,
+            window_origin=(oy0, ox0),
+        )
+    )
+    assert s_off[0] == -50.0 and s_off[1] == -50.0
+
+
+def test_kidnapped_recovery_windowed(house_map):
+    """A windowed-corr AMCL filter tracking at pose A is kidnapped (robot
+    teleports to B; odometry doesn't see it).  The fit collapse must drive
+    augmented-MCL injection (textbook w_avg signal, ref_compat_w_avg=False),
+    injected particles near B must survive via the coarse max-pooled
+    fallback, and the cluster estimate must re-localize
+    (reference recovery path: amcmh_localizer.py:496-527)."""
+    from tests.test_filter import _simulate
+
+    t_a, t_b = 30, 60
+    ts_a = np.linspace(0, 1.5 * np.pi, t_a)
+    ts_b = np.linspace(0, 3 * np.pi, t_b)
+    p_a = np.stack(
+        [2.5 + 0.8 * np.cos(ts_a), 2.5 + 0.8 * np.sin(ts_a),
+         _wrap_arr(ts_a + np.pi / 2)], axis=1
+    ).astype(np.float32)
+    p_b = np.stack(
+        [-2.5 + 0.8 * np.cos(ts_b), -2.5 + 0.8 * np.sin(ts_b),
+         _wrap_arr(ts_b + np.pi / 2)], axis=1
+    ).astype(np.float32)
+    poses = np.concatenate([p_a, p_b])
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    deltas = np.array(deltas)
+    deltas[t_a] = deltas[t_a + 1]  # odometry is blind to the teleport
+    cfg = FilterConfig(
+        mode="AMCL", num_particles=1500, min_particles=200, max_particles=2500,
+        initialized=True, initial_pose=tuple(map(float, p_a[0])),
+        max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        estimate_mode="cluster",
+        alpha_slow=0.05, alpha_fast=0.7,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(4))
+    _, infos = model.run(state, scans, angles, jnp.asarray(deltas))
+    est = np.asarray(infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    p_rand = np.asarray(infos.p_random)
+    assert np.mean(errs[t_a - 5:t_a]) < 0.5, errs[t_a - 5:t_a]  # tracking pre-kidnap
+    assert errs[t_a] > 3.0, errs[t_a]                           # lost at kidnap
+    assert p_rand[t_a:t_a + 10].max() > 0.2                     # injection fired
+    assert np.mean(errs[-8:]) < 0.5, errs[-12:]                 # re-localized
+
+
+def _wrap_arr(a):
+    return (np.asarray(a) + np.pi) % (2 * np.pi) - np.pi

@@ -126,3 +126,21 @@ def test_covariance_6x6_layout():
     assert flat[6] == 3 and flat[7] == 4 and flat[11] == 5
     assert flat[30] == 6 and flat[31] == 7 and flat[35] == 8
     assert flat[[2, 3, 4, 8, 14, 21, 28]].sum() == 0
+
+
+def test_estimate_cluster_picks_heavy_mode():
+    from mcmh_localization_tpu.filter.estimate import estimate_pose_cluster
+
+    rng = np.random.default_rng(11)
+    a = rng.normal([2.0, 1.0, 0.3], [0.05, 0.05, 0.02], size=(700, 3))
+    b = rng.normal([-2.0, -2.0, 1.2], [0.05, 0.05, 0.02], size=(300, 3))
+    pts = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    w = jnp.concatenate([jnp.full(700, 1.0), jnp.full(300, 0.9)])
+    w = w / jnp.sum(w)
+    est_mean = estimate_pose(pts, w)
+    est_cluster = estimate_pose_cluster(pts, w, radius_xy=0.5)
+    # global mean sits between the modes; cluster estimate at the heavy mode
+    assert abs(float(est_mean.mean[0]) - 2.0) > 0.5
+    np.testing.assert_allclose(
+        np.asarray(est_cluster.mean), [2.0, 1.0, 0.3], atol=0.05
+    )
