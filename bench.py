@@ -2,17 +2,19 @@
 
 Measures steady-state latency of the complete AMHAMCL scan update —
 odometry proposal + double likelihood-field scoring + asymmetric MH +
-augmented/KLD resampling — at 100k particles x 360 beams on the reference
-384x384 map (the BASELINE.json operating point "particle-updates/sec/chip at
-100k particles; ms/scan").
+augmented/KLD resampling — at several operating points on the reference
+384x384 map (BASELINE.json: "particle-updates/sec/chip at 100k particles;
+ms/scan").  The flagship config is the windowed + theta-windowed
+correlation field with the coarse recovery fallback (the shipped tracking
+configuration).
 
-The reference never measured throughput (SURVEY.md §6); the baseline used
-for ``vs_baseline`` is the BASELINE.json north-star target <2 ms/scan for
-1M particles x 360 beams on a v5e-8, i.e. 125k particles/chip -> scaled to
-this 100k-particle single-chip config: 1.6 ms.  vs_baseline = target_ms /
-measured_ms (>1 means beating the target).
+The reference never measured throughput (SURVEY.md §6); ``vs_baseline``
+compares against the BASELINE.json north-star <2 ms/scan for 1M x 360 on a
+v5e-8, i.e. 125k particles/chip, scaled linearly to each config's particle
+count (>1 = beating the target).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the FIRST line is the headline
+(same metric name lineage as BENCH_r01.json).
 """
 
 from __future__ import annotations
@@ -22,18 +24,46 @@ import time
 
 import numpy as np
 
-N_PARTICLES = 100_000
 N_BEAMS = 360
-TARGET_MS = 2.0 * (N_PARTICLES / 125_000)  # north-star scaled per chip
 WARMUP = 3
 ITERS = 20
+
+
+def _target_ms(n_particles: int) -> float:
+    return 2.0 * (n_particles / 1_000_000) * 8.0  # north-star per chip
+
+
+def _time_step(step, state, ranges, angles, delta):
+    for _ in range(WARMUP):
+        state, _info = step(state, ranges, angles, delta)
+    # scalar fetch: block_until_ready through the axon tunnel returns early,
+    # so sync via a value fetch; successive steps are naturally dependency-
+    # chained through `state`, serializing execution on device.
+    float(state.w_slow)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, _info = step(state, ranges, angles, delta)
+    float(state.w_slow)
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+def _emit(metric, ms, n_particles, unit="ms/scan"):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(ms, 4),
+                "unit": unit,
+                "vs_baseline": round(_target_ms(n_particles) / ms, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main():
     import jax
 
-    # Persistent compile cache: the driver's bench invocation reuses compiles
-    # from development runs (XLA compile on this 1-core host is minutes).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -43,50 +73,68 @@ def main():
     from __graft_entry__ import _build_map, _example_inputs
 
     grid_map = _build_map()
-    config = FilterConfig(
-        mode="AMHAMCL",
-        num_particles=N_PARTICLES,
-        min_particles=1000,
-        max_particles=N_PARTICLES,
-        initialized=True,
-        initial_pose=(0.0, 0.0, 0.3),
-        # steady-state tracking operating point: correlation field over a
-        # 128-cell window around the particle cloud (README perf table)
+
+    def run_config(n_particles, **kw):
+        config = FilterConfig(
+            mode="AMHAMCL",
+            num_particles=n_particles,
+            min_particles=1000,
+            max_particles=n_particles,
+            initialized=True,
+            initial_pose=(0.0, 0.0, 0.3),
+            **kw,
+        )
+        log_field = log_likelihood_field(grid_map, config)
+
+        @jax.jit
+        def step(state, ranges, angles, delta):
+            state = _predict(state, delta, grid_map, config)
+            return _correct(state, ranges, angles, grid_map, log_field, config)
+
+        state, ranges, angles, delta = _example_inputs(
+            grid_map, config, N_BEAMS
+        )
+        return _time_step(step, state, ranges, angles, delta)
+
+    flagship = dict(
         corr_window_cells=128,
+        corr_theta_window_bins=32,
+        likelihood_impl="corr",
     )
-    log_field = log_likelihood_field(grid_map, config)
 
-    @jax.jit
-    def step(state, ranges, angles, delta):
-        state = _predict(state, delta, grid_map, config)
-        return _correct(state, ranges, angles, grid_map, log_field, config)
-
-    state, ranges, angles, delta = _example_inputs(grid_map, config, N_BEAMS)
-
-    for _ in range(WARMUP):
-        state, _info = step(state, ranges, angles, delta)
-    # scalar fetch: block_until_ready through the axon tunnel returns early,
-    # so sync via a value fetch; successive steps are naturally dependency-
-    # chained through `state`, serializing execution on device.
-    float(state.w_slow)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, _info = step(state, ranges, angles, delta)
-    float(state.w_slow)
-    dt = (time.perf_counter() - t0) / ITERS
-
-    ms = dt * 1e3
+    # headline: flagship tracking config at 100k (FIRST line)
+    ms = run_config(100_000, **flagship)
+    _emit(
+        f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_win128", ms, 100_000
+    )
+    pps = 100_000 / (ms * 1e-3)
+    pps_target = 100_000 / (_target_ms(100_000) * 1e-3)
     print(
         json.dumps(
             {
-                "metric": f"amhamcl_step_ms_{N_PARTICLES // 1000}k_particles_{N_BEAMS}beams_win128",
-                "value": round(ms, 4),
-                "unit": "ms/scan",
-                "vs_baseline": round(TARGET_MS / ms, 4),
+                "metric": "particle_updates_per_sec_per_chip_100k",
+                "value": round(pps, 1),
+                "unit": "particles/s",
+                "vs_baseline": round(pps / pps_target, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # 1M particles, same flagship config, one chip
+    ms_1m = run_config(1_000_000, **flagship)
+    _emit(f"amhamcl_step_ms_1m_particles_{N_BEAMS}beams_win128", ms_1m,
+          1_000_000)
+
+    # exact-gather scorer at 100k (no corr approximation)
+    ms_exact = run_config(100_000, likelihood_impl="jnp")
+    _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_exact", ms_exact,
+          100_000)
+
+    # the reference's own operating point: 1500 particles, exact scorer
+    ms_ref = run_config(1_500, likelihood_impl="jnp")
+    _emit(f"amhamcl_step_ms_1500_particles_{N_BEAMS}beams_exact", ms_ref,
+          1_500)
 
 
 if __name__ == "__main__":

@@ -149,6 +149,13 @@ class FilterConfig:
     # lever once the filter has converged.  Particles outside the window
     # score like fully-out-of-map particles (0 before averaging).
     corr_window_cells: int = 0
+    # theta window (bins, 0 = all corr_n_theta bins): with the spatial
+    # window on, build only this many theta bins centered on the cloud's
+    # circular-mean heading.  Tracking clouds span a few degrees, so most
+    # of the K-bin build is wasted; particles outside the theta window
+    # score via the coarse fallback like spatial escapees.  Cuts BOTH the
+    # field build cost and the lookup table height by n_theta/bins.
+    corr_theta_window_bins: int = 0
     # coarse full-map fallback field for particles OUTSIDE the window:
     # downsample factor over map cells (0 disables -> out-of-window
     # particles take the blind -50 penalty, which kills augmented-MCL
@@ -194,6 +201,13 @@ class FilterConfig:
             raise ValueError(f"unknown corr_field_dtype {self.corr_field_dtype!r}")
         if self.corr_window_cells and self.corr_window_cells % 8:
             raise ValueError("corr_window_cells must be a multiple of 8")
+        if self.corr_theta_window_bins and (
+            self.corr_theta_window_bins >= self.corr_n_theta
+            or self.corr_theta_window_bins < 2
+        ):
+            raise ValueError(
+                "corr_theta_window_bins must be 0 or in [2, corr_n_theta)"
+            )
         if self.estimate_mode not in ("mean", "cluster"):
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.corr_coarse_factor < 0:

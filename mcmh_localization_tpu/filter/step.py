@@ -150,7 +150,9 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
 
 def _window_origin(state: FilterState, grid_map, config: FilterConfig):
     """Cell coords of the corr-field window's lower-left corner, centered on
-    the active particle cloud's mean position."""
+    the active particle cloud's mean position; with a theta window
+    configured, also the starting global theta-bin (circular-mean heading
+    minus half the window)."""
     mask = state.active_mask
     n = jnp.maximum(jnp.sum(mask), 1)
     mean_x = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
@@ -159,6 +161,16 @@ def _window_origin(state: FilterState, grid_map, config: FilterConfig):
     half = config.corr_window_cells // 2
     ox0 = ((mean_x - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
     oy0 = ((mean_y - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
+    if config.corr_theta_window_bins:
+        c = jnp.sum(jnp.where(mask, jnp.cos(state.particles[:, 2]), 0.0))
+        s = jnp.sum(jnp.where(mask, jnp.sin(state.particles[:, 2]), 0.0))
+        mean_t = jnp.arctan2(s, c)
+        k = config.corr_n_theta
+        kmid = (
+            ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
+        )
+        kstart = (kmid - config.corr_theta_window_bins // 2) % k
+        return oy0, ox0, kstart
     return oy0, ox0
 
 

@@ -34,13 +34,18 @@ from mcmh_localization_tpu.config import FilterConfig
 from mcmh_localization_tpu.models.sensor import BLIND_SCORE, log_likelihood_field
 
 
-def _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row):
-    """(K, M) int32 slice-start offsets per theta-bin; invalid beams point
-    at the all-zero band."""
+def _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row,
+                 bin_start=0, nbins=None):
+    """(nbins, M) int32 slice-start offsets per theta-bin; invalid beams
+    point at the all-zero band.  ``bin_start`` (traced ok) selects a
+    contiguous circular window of ``nbins`` of the n_theta global bins."""
+    if nbins is None:
+        nbins = n_theta
     # bin CENTERS (left edges would give a systematic half-bin heading bias
     # that steadily drags tracking; lookup uses floor-to-bin below)
     thetas = (
-        (jnp.arange(n_theta, dtype=jnp.float32) + 0.5) * (2.0 * jnp.pi / n_theta)
+        (bin_start + jnp.arange(nbins, dtype=jnp.float32) + 0.5)
+        * (2.0 * jnp.pi / n_theta)
         - jnp.pi
     )
     c = jnp.cos(thetas)[:, None]
@@ -101,9 +106,24 @@ def _coarse_field_scores(
     pad_c = int(-(-config.max_range // res_c)) + 2
     padded = jnp.pad(coarse_lf, pad_c)
     zero_band_row = padded.shape[0]
-    padded = jnp.pad(padded, ((0, hc), (0, 0)))
     ox, oy = _bin_offsets(u, v, valid, 1.0 / res_c, kc, pad_c, zero_band_row)
-    field = _build_field_xla(padded, ox, oy, hc, wc)
+    if jax.default_backend() == "tpu":
+        # same VMEM-resident shifted-add kernel as the fine build; the XLA
+        # builder materializes (M, hc, wc) slice stacks per bin (~9 ms for
+        # 36 bins at map_house scale — measured round 2).  The build dims
+        # are rounded up to Mosaic tile alignment (8 sublanes, 128 lanes) —
+        # the extra rows/cols are never looked up (mx/my clipped to hc/wc).
+        from mcmh_localization_tpu.ops.corr_field_pallas import (
+            corr_field_pallas,
+        )
+
+        hcb = -(-hc // 8) * 8
+        wcb = -(-wc // 128) * 128
+        padded = jnp.pad(padded, ((0, hcb + 16), (0, wcb - wc + 128)))
+        field = corr_field_pallas(padded, ox, oy, hcb, wcb)
+    else:
+        padded = jnp.pad(padded, ((0, hc), (0, 0)))
+        field = _build_field_xla(padded, ox, oy, hc, wc)
 
     mx = ((particles[:, 0] - grid_map.origin[0]) / res_c).astype(jnp.int32)
     my = ((particles[:, 1] - grid_map.origin[1]) / res_c).astype(jnp.int32)
@@ -164,15 +184,29 @@ def correlation_field_scores(
     zero_band_row = padded.shape[0]
     padded = jnp.pad(padded, ((0, h + 16), (0, 128)))
 
-    ox, oy = _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row)
+    # theta window: build only corr_theta_window_bins bins starting at the
+    # traced global-bin offset window_origin[2] (cloud mean heading); the
+    # cos/sin in _bin_offsets are periodic so no wrapping is needed
+    win = config.corr_window_cells
+    use_window = bool(win) and win < min(h, w) and window_origin is not None
+    tw = config.corr_theta_window_bins
+    use_theta_win = (
+        bool(tw) and use_window and len(window_origin) == 3
+    )
+    nbins = tw if use_theta_win else n_theta
+    kstart = (
+        jnp.asarray(window_origin[2], jnp.int32) if use_theta_win else 0
+    )
+    ox, oy = _bin_offsets(
+        u, v, valid, inv_res, n_theta, pad_cells, zero_band_row,
+        bin_start=kstart, nbins=nbins,
+    )
 
     # window-limited build: the field only covers (win x win) cells at
     # window_origin; the padded table is pre-sliced to the window's reach so
     # the Pallas kernel's VMEM footprint is independent of map size
-    win = config.corr_window_cells
-    use_window = bool(win) and win < min(h, w) and window_origin is not None
     if use_window:
-        oy0, ox0 = window_origin
+        oy0, ox0 = window_origin[0], window_origin[1]
         oy0 = jnp.clip(jnp.asarray(oy0, jnp.int32), 0, h - win)
         ox0 = jnp.clip(jnp.asarray(ox0, jnp.int32), 0, w - win)
         region_h = 2 * pad_cells + win + 16
@@ -198,10 +232,10 @@ def correlation_field_scores(
         # theta-bin-sharded build (multi-chip): each device builds K/D bins
         # (the build cost is embarrassingly parallel over bins) and one
         # all_gather of the small field replaces D-fold replicated work;
-        # requires n_theta % n_devices == 0
+        # requires nbins % n_devices == 0
         ndev = jax.lax.psum(1, shard_bins_axis)
         ax = jax.lax.axis_index(shard_bins_axis)
-        kd = n_theta // ndev
+        kd = nbins // ndev
         ox_l = jax.lax.dynamic_slice_in_dim(ox, ax * kd, kd, 0)
         oy_l = jax.lax.dynamic_slice_in_dim(oy, ax * kd, kd, 0)
         if field_impl == "pallas":
@@ -228,6 +262,12 @@ def correlation_field_scores(
         ((particles[:, 2] + jnp.pi) * (n_theta / (2.0 * jnp.pi)))
         .astype(jnp.int32) % n_theta
     )
+    if use_theta_win:
+        k_rel = (tbin - kstart) % n_theta
+        in_theta = k_rel < nbins
+        tbin = jnp.where(in_theta, k_rel, 0)
+    else:
+        in_theta = jnp.ones(particles.shape[0], dtype=bool)
     in_map = grid_map.in_bounds(mx, my)
     if use_window:
         mxw = mx - ox0
@@ -243,15 +283,16 @@ def correlation_field_scores(
     # tracking -> 1-2 chunk visits; ops/gather_pallas.py)
     from mcmh_localization_tpu.ops.gather_pallas import gather_3d
 
+    covered = in_window & in_theta
     totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc)
-    totals = jnp.where(in_map & in_window, totals, 0.0)
+    totals = jnp.where(in_map & covered, totals, 0.0)
 
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         coarse_totals = _coarse_field_scores(
             particles, u, v, valid, log_field, grid_map, config, res
         )
-        totals = jnp.where(in_map & ~in_window, coarse_totals, totals)
+        totals = jnp.where(in_map & ~covered, coarse_totals, totals)
 
     count = jnp.sum(valid)
     if config.score_aggregation == "sum":
@@ -264,7 +305,7 @@ def correlation_field_scores(
     # blind penalty when the coarse fallback is disabled (scores are mostly
     # negative, so they must not outscore real ones)
     if not use_coarse:
-        score = jnp.where(in_map & ~in_window, BLIND_SCORE, score)
+        score = jnp.where(in_map & ~covered, BLIND_SCORE, score)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 

@@ -20,10 +20,13 @@ per-tile dynamic [min, max] chunk window — clustered indices (a tracking
 filter's cloud) touch only 1-2 chunks regardless of table height.
 
 Precision: the table transits the MXU in bfloat16.  ``precision="split"``
-(default) writes the table as hi + lo bf16 planes (two matmuls), giving
-~1e-3 relative error — required for correlation-field values (|v| up to
-1e4, where raw bf16's 8-bit mantissa would distort log-weights by O(1)).
-``precision="bf16"`` is exact for 0/1 tables (occupancy masks).
+(default) writes the table as hi + lo bf16 planes STACKED along the
+contraction dimension — the one-hot pattern repeats over both planes, so a
+single dot per chunk sums hi + lo (Mosaic miscompiles two dots inside one
+fori body; one wider dot sidesteps it) — giving ~1e-3 relative error,
+required for correlation-field values (|v| up to 1e4, where raw bf16's
+8-bit mantissa would distort log-weights by O(1)).  ``precision="bf16"``
+is exact for 0/1 tables (occupancy masks).
 
 Out-of-range rows contribute no one-hot mass and return 0.0.
 """
@@ -38,31 +41,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RC = 128   # row chunk (one-hot matmul K dimension)
-SUB = 64   # index-tile sublanes per program: SUB*128 elements
 
 
-def _kernel(tt_hi_ref, tt_lo_ref, rows_ref, lanes_ref, out_ref, *, chunks,
-            split):
-    e = SUB * 128
+def _pick_sub(chunks: int, split: bool) -> int:
+    """Index-tile sublanes per program, sized so the resident table
+    (bf16, x2 when split) plus per-tile buffers stay well under VMEM."""
+    table_mb = 128 * chunks * RC * 2 * (2 if split else 1) / 2 ** 20
+    # per-tile buffers ~ (oh bf16 + d f32 + mask bf16) = 8 bytes/lane-elem
+    return 32 if table_mb > 4.0 else 64
+
+
+def _kernel(tt_ref, rows_ref, lanes_ref, out_ref, *, chunks, split, sub):
+    e = sub * 128
+    cw = 2 * RC if split else RC  # contraction width per chunk
     rows_flat = rows_ref[:].reshape(1, e)
     lanes_flat = lanes_ref[:].reshape(1, e)
     mask = (
         jax.lax.broadcasted_iota(jnp.int32, (128, e), 0) == lanes_flat
     ).astype(jnp.float32)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (RC, e), 0)
+    # one-hot repeats over the hi and lo half of the chunk (riota % RC), so
+    # ONE dot per chunk accumulates hi + lo
+    riota = jax.lax.broadcasted_iota(jnp.int32, (cw, e), 0) % RC
 
     def chunk_body(c, acc):
         oh = (riota + c * RC == rows_flat).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(
-            tt_hi_ref[:, pl.ds(c * RC, RC)], oh,
+        return acc + jnp.dot(
+            tt_ref[:, pl.ds(c * cw, cw)], oh,
             preferred_element_type=jnp.float32,
         )
-        if split:
-            acc = acc + jnp.dot(
-                tt_lo_ref[:, pl.ds(c * RC, RC)], oh,
-                preferred_element_type=jnp.float32,
-            )
-        return acc
 
     # dynamic chunk window: only visit chunks this tile's rows touch
     lo = jnp.clip(jnp.min(rows_flat) // RC, 0, chunks - 1)
@@ -70,7 +76,8 @@ def _kernel(tt_hi_ref, tt_lo_ref, rows_ref, lanes_ref, out_ref, *, chunks,
     d = jax.lax.fori_loop(
         lo, hi + 1, chunk_body, jnp.zeros((128, e), jnp.float32)
     )
-    out_ref[:] = jnp.sum(d * mask, axis=0, keepdims=True).reshape(SUB, 128)
+    picked = jnp.sum(d * mask, axis=0, keepdims=True)
+    out_ref[:] = picked.reshape(sub, 128)
 
 
 @functools.partial(
@@ -92,13 +99,22 @@ def gather_rows_lanes(
     table = jnp.pad(table, ((0, rpad), (0, 0)))
     chunks = (r + rpad) // RC
 
-    tt = table.T  # (128, R')
     split = precision == "split"
+    sub = _pick_sub(chunks, split)
+    tt = table.T  # (128, R')
     tt_hi = tt.astype(jnp.bfloat16)
-    tt_lo = (tt - tt_hi.astype(jnp.float32)).astype(jnp.bfloat16) if split \
-        else tt_hi  # unused when not split
+    if split:
+        tt_lo = (tt - tt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # per-chunk [hi | lo] stacking along the contraction dim
+        r2 = chunks * RC
+        tt_k = jnp.concatenate(
+            [tt_hi.reshape(128, chunks, 1, RC),
+             tt_lo.reshape(128, chunks, 1, RC)], axis=2,
+        ).reshape(128, 2 * r2)
+    else:
+        tt_k = tt_hi
 
-    npad = (-n) % (SUB * 128)
+    npad = (-n) % (sub * 128)
     # edge-pad so padding doesn't widen the dynamic chunk window
     rows_p = jnp.pad(rows.astype(jnp.int32), (0, npad), mode="edge")
     lanes_p = jnp.pad(lanes.astype(jnp.int32), (0, npad), mode="edge")
@@ -106,24 +122,23 @@ def gather_rows_lanes(
     rows2 = rows_p.reshape(m, 128)
     lanes2 = lanes_p.reshape(m, 128)
 
+    cw = 2 * RC if split else RC
     out = pl.pallas_call(
-        functools.partial(_kernel, chunks=chunks, split=split),
-        grid=(m // SUB,),
+        functools.partial(_kernel, chunks=chunks, split=split, sub=sub),
+        grid=(m // sub,),
         in_specs=[
-            pl.BlockSpec((128, chunks * RC), lambda i: (0, 0),
+            pl.BlockSpec((128, chunks * cw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, chunks * RC), lambda i: (0, 0),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((sub, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
         interpret=interpret,
-    )(tt_hi, tt_lo, rows2, lanes2)
+    )(tt_k, rows2, lanes2)
     return out.reshape(-1)[:n]
 
 

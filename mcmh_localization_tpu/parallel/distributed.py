@@ -138,6 +138,18 @@ def _dist_window_origin(particles, mask, count, grid_map, config, axis):
     half = config.corr_window_cells // 2
     ox0 = ((sx / n - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
     oy0 = ((sy / n - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
+    if config.corr_theta_window_bins:
+        c = jax.lax.psum(
+            jnp.sum(jnp.where(mask, jnp.cos(particles[:, 2]), 0.0)), axis)
+        s = jax.lax.psum(
+            jnp.sum(jnp.where(mask, jnp.sin(particles[:, 2]), 0.0)), axis)
+        mean_t = jnp.arctan2(s, c)
+        k = config.corr_n_theta
+        kmid = (
+            ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
+        )
+        kstart = (kmid - config.corr_theta_window_bins // 2) % k
+        return oy0, ox0, kstart
     return oy0, ox0
 
 

@@ -76,6 +76,7 @@ def main():
             mode="AMHAMCL", num_particles=n, min_particles=1000,
             max_particles=n, initialized=True, initial_pose=(0.0, 0.0, 0.3),
             corr_window_cells=128,
+            corr_theta_window_bins=32,
         )
         lf = log_likelihood_field(gm, cfg)
         state, ranges, angles, delta = _example_inputs(gm, cfg, 360)
@@ -90,7 +91,8 @@ def main():
         res = float(jax.device_get(gm.resolution))
         half = cfg.corr_window_cells // 2
         wo = (jnp.int32((0.0 + 10.0) / res) - half,
-              jnp.int32((0.0 + 10.0) / res) - half)
+              jnp.int32((0.0 + 10.0) / res) - half,
+              jnp.int32((0.3 + 3.14159) * cfg.corr_n_theta / 6.28318) - 16)
         timed_chain(
             f"[{tag}] corr scores windowed (1 call)",
             jax.jit(lambda c, p3=p3, cfg=cfg, lf=lf: jnp.sum(

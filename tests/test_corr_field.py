@@ -335,3 +335,65 @@ def test_kidnapped_recovery_windowed(house_map):
 
 def _wrap_arr(a):
     return (np.asarray(a) + np.pi) % (2 * np.pi) - np.pi
+
+
+def test_corr_theta_window_matches_full(house_map, default_config):
+    # particles with headings inside the theta window score exactly as the
+    # full-theta windowed build; a heading outside it falls to the coarse
+    # fallback (finite, > blind)
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=90)
+    rng = np.random.default_rng(9)
+    parts = jnp.asarray(
+        np.stack([
+            1.0 + rng.normal(0, 0.2, 128),
+            1.0 + rng.normal(0, 0.2, 128),
+            0.4 + rng.normal(0, 0.05, 128),
+        ], axis=1).astype(np.float32)
+    )
+    res = 0.05
+    ox0 = int((1.0 + 4.8) / res) - 48
+    oy0 = int((1.0 + 4.8) / res) - 48
+    n_theta = 64
+    cfg = default_config.replace(corr_window_cells=96)
+    full = np.asarray(correlation_field_scores(
+        parts, ranges, angles, house_map, cfg, n_theta=n_theta,
+        window_origin=(oy0, ox0)))
+    # theta window of 16 bins centered on the cloud's heading bin
+    kmid = int((0.4 + np.pi) * n_theta / (2 * np.pi)) % n_theta
+    kstart = (kmid - 8) % n_theta
+    cfg_tw = cfg.replace(corr_theta_window_bins=16)
+    tw = np.asarray(correlation_field_scores(
+        parts, ranges, angles, house_map, cfg_tw, n_theta=n_theta,
+        window_origin=(oy0, ox0, kstart)))
+    np.testing.assert_allclose(tw, full, rtol=1e-4, atol=1e-4)
+    # a particle whose heading is opposite the window -> coarse fallback
+    flipped = parts.at[0, 2].set(0.4 + np.pi)
+    s = np.asarray(correlation_field_scores(
+        flipped, ranges, angles, house_map, cfg_tw, n_theta=n_theta,
+        window_origin=(oy0, ox0, kstart)))
+    assert s[0] > -50.0
+    full_flip = np.asarray(correlation_field_scores(
+        flipped, ranges, angles, house_map, cfg, n_theta=n_theta,
+        window_origin=(oy0, ox0)))
+    assert s[0] != full_flip[0]  # coarse, not the fine value
+
+
+def test_corr_theta_window_filter_tracks(house_map):
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=256, min_particles=64, max_particles=320,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=120, corr_window_cells=128,
+        corr_theta_window_bins=24,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.3, err

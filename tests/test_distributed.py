@@ -1,0 +1,141 @@
+"""Explicit shard_map multi-chip execution (parallel/distributed.py) on the
+8-virtual-device CPU mesh: theta-sharded build exactness, filter-level
+tracking equivalence, and the no-O(N)-collective guarantee."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.step import make_model
+from mcmh_localization_tpu.models.corr_field import correlation_field_scores
+from mcmh_localization_tpu.parallel.distributed import make_dist_model
+from mcmh_localization_tpu.parallel.sharding import make_mesh
+
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax import shard_map  # type: ignore
+
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+    return make_mesh(jax.devices()[:8])
+
+
+def _scan_at(house_map, pose, m=90):
+    from mcmh_localization_tpu.models.sensor import raycast
+
+    angles = jnp.linspace(-np.pi, np.pi, m)
+    r = raycast(pose[:2], pose[2] + angles, house_map, 5.0, hit_unknown=True)
+    return r, angles
+
+
+def test_theta_sharded_build_matches_local(house_map, default_config, mesh):
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose)
+    rng = np.random.default_rng(0)
+    parts = jnp.asarray(
+        np.stack([rng.uniform(-3, 3, 256), rng.uniform(-3, 3, 256),
+                  rng.uniform(-np.pi, np.pi, 256)], axis=1).astype(np.float32)
+    )
+    cfg = default_config
+    local = np.asarray(correlation_field_scores(
+        parts, ranges, angles, house_map, cfg, n_theta=64, field_impl="xla"))
+
+    def sharded(p):
+        return correlation_field_scores(
+            p, ranges, angles, house_map, cfg, n_theta=64,
+            field_impl="xla", shard_bins_axis="data")
+
+    f = shard_map(sharded, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                  check_rep=False)
+    out = np.asarray(jax.jit(f)(parts))
+    np.testing.assert_allclose(out, local, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["MCL", "AMHAMCL"])
+def test_dist_filter_tracks(house_map, mesh, mode):
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode=mode, num_particles=512, min_particles=64, max_particles=512,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+    )
+    model = make_dist_model(cfg, house_map, mesh)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.3, err
+    assert np.isfinite(np.asarray(infos.ess)).all()
+
+
+def test_dist_corr_windowed_tracks(house_map, mesh):
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=512, min_particles=64,
+        max_particles=512, initialized=True,
+        initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=64, corr_window_cells=96,
+        corr_theta_window_bins=16,
+    )
+    model = make_dist_model(cfg, house_map, mesh)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.35, err
+
+
+_SHAPE_RE = re.compile(r"(f32|s32|u32|pred|bf16)\[([0-9,]*)\]")
+
+
+def _collective_byte_sizes(hlo: str):
+    """Max result size (bytes) of any all-gather/all-reduce/all-to-all op."""
+    sizes = []
+    for line in hlo.splitlines():
+        s = line.strip()
+        # exclude scalar all-reduces (psum) by parsing the result shape
+        if re.search(r"=.*\b(all-gather|all-to-all)\b", s):
+            m = _SHAPE_RE.search(s.split("=")[0])
+            if m:
+                dims = [int(d) for d in m.group(2).split(",") if d]
+                n = int(np.prod(dims)) if dims else 1
+                sizes.append(4 * n)
+    return sizes
+
+
+def test_dist_step_has_no_big_gather(house_map, mesh):
+    n = 65536
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=n, min_particles=1024, max_particles=n,
+        initialized=True, initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=64, corr_window_cells=96,
+        corr_theta_window_bins=16,
+    )
+    model = make_dist_model(cfg, house_map, mesh)
+    state = model.init(jax.random.PRNGKey(0))
+    ranges, angles = _scan_at(house_map, jnp.array([1.0, -1.0, 0.0]))
+    delta = jnp.array([0.0, 0.05, 0.0])
+    hlo = jax.jit(model.step).lower(state, ranges, angles, delta).compile()
+    text = hlo.as_text()
+    sizes = _collective_byte_sizes(text)
+    particle_bytes = n * 3 * 4
+    # the only gathered tensor is the small theta-window field
+    # (16 bins x 96^2 cells x 4 B = 590 kB); nothing moves O(N) particles
+    for s in sizes:
+        assert s < particle_bytes // 2, (s, particle_bytes)
