@@ -75,10 +75,14 @@ def main():
     grid_map = _build_map()
 
     def run_config(n_particles, **kw):
+        # min_particles = N keeps the KLD count at the full N for every
+        # timed step — an honest full-population throughput measurement
+        # (with a small min, KLD collapses the active count within the
+        # warmup steps and the run would time mostly padded slots)
         config = FilterConfig(
             mode="AMHAMCL",
             num_particles=n_particles,
-            min_particles=1000,
+            min_particles=n_particles,
             max_particles=n_particles,
             initialized=True,
             initial_pose=(0.0, 0.0, 0.3),

@@ -296,10 +296,25 @@ def _correct(
         # the SAME origin for both score calls so XLA CSE builds one field
         wo = _window_origin(state, grid_map, config)
         score = functools.partial(score, window_origin=wo)
-    s_post = score(state.particles)
-    weights_post = softmax_weights(s_post, mask)
+    # collapse INACTIVE (padded) slots onto an active pose before scoring:
+    # their scores are masked out of the softmax anyway, but stale padded
+    # poses spread across the map would drag the gather kernel's dynamic
+    # row window wide open (slot 0 is always active; count >= 1)
+    anchor = state.particles[0]
+    p_sc = jnp.where(mask[:, None], state.particles, anchor)
     if config.use_mh:
-        weights_pre = softmax_weights(score(state.prev_particles), mask)
+        # ONE scorer invocation for both sets: the field build is shared and
+        # the lookup kernel's fixed per-invocation cost is paid once
+        n_max = state.n_max
+        prev_sc = jnp.where(mask[:, None], state.prev_particles, anchor)
+        s_both = score(jnp.concatenate([p_sc, prev_sc]))
+        s_post = s_both[:n_max]
+        weights_post = softmax_weights(s_post, mask)
+        weights_pre = softmax_weights(s_both[n_max:], mask)
+    else:
+        s_post = score(p_sc)
+        weights_post = softmax_weights(s_post, mask)
+    if config.use_mh:
         if config.asymmetric:
             fwd, bwd = _transition_probabilities(state, config)
             particles, weights, accepted = asymmetric_mh(

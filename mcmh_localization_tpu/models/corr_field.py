@@ -71,6 +71,45 @@ def _build_field_xla(padded, ox, oy, h, w):
     return jax.lax.map(lambda o: one_bin(o[0], o[1]), (ox, oy))
 
 
+def _build_field_conv(region, ox, oy, valid, ksize, fh, fw):
+    """Field build as ONE MXU cross-correlation (the fast TPU path).
+
+    F[k, y, x] = sum_j region[y + oy[k,j], x + ox[k,j]] is exactly a VALID
+    2-D correlation of ``region`` with a per-bin sparse "stamp" counting how
+    many beams land on each offset.  The stamp scatter is nbins*M tiny
+    updates; the correlation is one lax.conv with the bins on the output-
+    channel axis — MXU work instead of the Pallas builder's per-beam dynamic
+    rotates (which cost ~0.25 ms/bin; the conv does all bins in ~1 ms).
+
+    region: (fh + ksize - 1, fw + ksize - 1); ox/oy: (nbins, M) in
+    [0, ksize); invalid beams contribute weight 0 (no zero-band needed).
+    """
+    nbins, m = ox.shape
+    w = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    stamp = jnp.zeros((nbins, ksize, ksize), jnp.float32)
+    kidx = jnp.broadcast_to(jnp.arange(nbins)[:, None], (nbins, m))
+    stamp = stamp.at[kidx, jnp.clip(oy, 0, ksize - 1),
+                     jnp.clip(ox, 0, ksize - 1)].add(
+        jnp.broadcast_to(w[None, :], (nbins, m))
+    )
+    # bf16 MXU conv with an f32-accurate hi+lo region split on the batch
+    # axis (a raw f32 conv runs ~60x slower off the MXU); stamp counts are
+    # small integers — bf16-exact
+    r32 = region.astype(jnp.float32)
+    r_hi = r32.astype(jnp.bfloat16)
+    r_lo = (r32 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lhs = jnp.stack([r_hi, r_lo])[:, None]          # (2, 1, H, W)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        stamp[:, None].astype(jnp.bfloat16),
+        (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out[0] + out[1]                            # hi + lo planes
+    return out[:, :fh, :fw]
+
+
 def _coarse_field_scores(
     particles, u, v, valid, log_field, grid_map, config, res
 ):
@@ -108,19 +147,9 @@ def _coarse_field_scores(
     zero_band_row = padded.shape[0]
     ox, oy = _bin_offsets(u, v, valid, 1.0 / res_c, kc, pad_c, zero_band_row)
     if jax.default_backend() == "tpu":
-        # same VMEM-resident shifted-add kernel as the fine build; the XLA
-        # builder materializes (M, hc, wc) slice stacks per bin (~9 ms for
-        # 36 bins at map_house scale — measured round 2).  The build dims
-        # are rounded up to Mosaic tile alignment (8 sublanes, 128 lanes) —
-        # the extra rows/cols are never looked up (mx/my clipped to hc/wc).
-        from mcmh_localization_tpu.ops.corr_field_pallas import (
-            corr_field_pallas,
-        )
-
-        hcb = -(-hc // 8) * 8
-        wcb = -(-wc // 128) * 128
-        padded = jnp.pad(padded, ((0, hcb + 16), (0, wcb - wc + 128)))
-        field = corr_field_pallas(padded, ox, oy, hcb, wcb)
+        # MXU cross-correlation build (see _build_field_conv)
+        field = _build_field_conv(padded, ox, oy, valid, 2 * pad_c + 1,
+                                  hc, wc)
     else:
         padded = jnp.pad(padded, ((0, hc), (0, 0)))
         field = _build_field_xla(padded, ox, oy, hc, wc)
@@ -135,7 +164,71 @@ def _coarse_field_scores(
     my = jnp.clip(my, 0, hc - 1)
     from mcmh_localization_tpu.ops.gather_pallas import gather_3d
 
-    return gather_3d(field.astype(jnp.float32), tbin, my, mx)
+    prec = "bf16" if config.score_aggregation == "mean" else "split"
+    return gather_3d(field.astype(jnp.float32), tbin, my, mx, precision=prec)
+
+
+def _build_field_dft(region, ox, oy, valid, fh, fw):
+    """Field build as a DFT-domain cross-correlation — pure MXU matmuls.
+
+    F[k, y, x] = sum_j region[y + oy[k,j], x + ox[k,j]]
+               = real(IDFT2( DFT2(region) * conj(DFT2(stamp_k)) ))
+
+    * the region transform is computed ONCE for all bins (2 complex
+      matmuls with the DFT matrix);
+    * the per-bin stamps (beam-offset count images) are scattered densely
+      and transformed with the same DFT matrix as batched matmuls — NO
+      per-element trig beyond the data-independent D matrices (a direct
+      NUDFT was tried first: its (nbins, M, S) phase tables cost ~7 ms of
+      transcendentals per scan once the window origin is traced);
+    * the inverse transform is a batched complex matmul pair.
+
+    DFT size S >= region side guarantees the evaluated lags never wrap, so
+    the circular correlation equals the linear one on [0, fh) x [0, fw).
+    All matmuls run in f32 (~0.9 ms for 32 bins at the flagship window vs
+    ~8 ms for the per-beam dynamic-rotate Pallas builder and ~21 ms for
+    XLA's large-kernel conv lowering, measured on v5e).
+    """
+    hr, wr = region.shape
+    s = max(-(-hr // 128) * 128, -(-wr // 128) * 128)  # MXU-friendly size
+    nbins, m = ox.shape
+    rp = jnp.pad(region.astype(jnp.float32), ((0, s - hr), (0, s - wr)))
+
+    n_grid = jnp.arange(s, dtype=jnp.float32)
+    ang = (2.0 * jnp.pi / s) * jnp.outer(n_grid, n_grid)  # (S, S)
+    dr = jnp.cos(ang)
+    di = -jnp.sin(ang)
+
+    # R_hat = D @ Rp @ D^T (Rp real)
+    a = dr @ rp   # (S, S)
+    b = di @ rp
+    rr = a @ dr.T - b @ di.T
+    ri = a @ di.T + b @ dr.T
+
+    # stamp images: counts of beam offsets per bin, then S_hat = D @ C @ D^T
+    w = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    stamp = jnp.zeros((nbins, s, s), jnp.float32)
+    kidx = jnp.broadcast_to(jnp.arange(nbins)[:, None], (nbins, m))
+    stamp = stamp.at[kidx, jnp.clip(oy, 0, s - 1),
+                     jnp.clip(ox, 0, s - 1)].add(
+        jnp.broadcast_to(w[None, :], (nbins, m))
+    )
+    c_r = jnp.einsum("us,ksv->kuv", dr, stamp)
+    c_i = jnp.einsum("us,ksv->kuv", di, stamp)
+    srr = jnp.matmul(c_r, dr) - jnp.matmul(c_i, di)   # dr/di symmetric
+    sri = jnp.matmul(c_r, di) + jnp.matmul(c_i, dr)
+
+    # P_k = R_hat * conj(S_hat_k)
+    pr = rr[None] * srr + ri[None] * sri
+    pi = ri[None] * srr - rr[None] * sri
+
+    # F_k = real(IDFT2(P_k)) = (D^H P D^*).real / S^2
+    #     = (dr@pr@dr - dr@pi@di - di@pr@di - di@pi@dr... expand carefully:
+    # IDFT matrix Dinv = conj(D)/S: real(Dc @ P @ Dc^T) with Dc = (dr - i*di)
+    ar = jnp.matmul(dr, pr) + jnp.matmul(di, pi)   # real(Dc @ P)
+    ai = jnp.matmul(dr, pi) - jnp.matmul(di, pr)   # imag(Dc @ P)
+    f = jnp.matmul(ar, dr) + jnp.matmul(ai, di)    # real(... @ Dc^T)
+    return f[:, :fh, :fw] / (s * s)
 
 
 def correlation_field_scores(
@@ -180,9 +273,9 @@ def correlation_field_scores(
     # tile-alignment margins for the Pallas kernel's aligned window loads
     if config.corr_field_dtype == "bfloat16":
         log_field = log_field.astype(jnp.bfloat16)
-    padded = jnp.pad(log_field, pad_cells)
-    zero_band_row = padded.shape[0]
-    padded = jnp.pad(padded, ((0, h + 16), (0, 128)))
+    padded0 = jnp.pad(log_field, pad_cells)  # no margins (conv builder)
+    zero_band_row = padded0.shape[0]
+    padded = jnp.pad(padded0, ((0, h + 16), (0, 128)))
 
     # theta window: build only corr_theta_window_bins bins starting at the
     # traced global-bin offset window_origin[2] (cloud mean heading); the
@@ -203,32 +296,66 @@ def correlation_field_scores(
     )
 
     # window-limited build: the field only covers (win x win) cells at
-    # window_origin; the padded table is pre-sliced to the window's reach so
-    # the Pallas kernel's VMEM footprint is independent of map size
+    # window_origin
     if use_window:
         oy0, ox0 = window_origin[0], window_origin[1]
         oy0 = jnp.clip(jnp.asarray(oy0, jnp.int32), 0, h - win)
         ox0 = jnp.clip(jnp.asarray(ox0, jnp.int32), 0, w - win)
-        region_h = 2 * pad_cells + win + 16
-        region_w = 2 * pad_cells + win + 128
-        region = jax.lax.dynamic_slice(padded, (oy0, ox0), (region_h, region_w))
-        # local zero band for invalid beams; margin covers the kernel's
-        # (win + sublane) aligned load for BOTH f32 (8) and bf16 (16)
-        zero_band_local = region_h
-        region = jnp.pad(region, ((0, win + 16), (0, 0)))
-        is_zero_band = oy >= zero_band_row
-        oy = jnp.where(is_zero_band, zero_band_local, oy)
-        padded = region
         fh = fw = win
     else:
         fh, fw = h, w
 
     if field_impl == "auto":
-        # the Pallas build's dynamic rotates only compile for f32 on current
-        # Mosaic; bf16 fields fall back to the XLA builder
-        f32 = config.corr_field_dtype == "float32"
-        field_impl = "pallas" if (jax.default_backend() == "tpu" and f32) else "xla"
-    if shard_bins_axis is not None:
+        # dft (MXU cross-correlation via DFT matmuls) is the fast TPU
+        # builder; the Pallas roll builder pays ~0.25 ms/bin in dynamic
+        # rotates, XLA's conv lowering chokes on the large sparse stamp,
+        # and the XLA slice builder materializes (M, h, w) stacks
+        if jax.default_backend() == "tpu":
+            field_impl = "dft" if use_window else (
+                "pallas" if config.corr_field_dtype == "float32" else "xla"
+            )
+        else:
+            field_impl = "xla"
+
+    if field_impl in ("dft", "conv"):
+        ksize = 2 * pad_cells + 1
+        if use_window:
+            side = win + 2 * pad_cells
+            region = jax.lax.dynamic_slice(padded0, (oy0, ox0), (side, side))
+        else:
+            region = padded0
+
+        def _builder(ox_b, oy_b):
+            if field_impl == "dft":
+                return _build_field_dft(region, ox_b, oy_b, valid, fh, fw)
+            return _build_field_conv(region, ox_b, oy_b, valid, ksize, fh, fw)
+
+        if shard_bins_axis is not None:
+            ndev = jax.lax.psum(1, shard_bins_axis)
+            axd = jax.lax.axis_index(shard_bins_axis)
+            kd = nbins // ndev
+            ox_l = jax.lax.dynamic_slice_in_dim(ox, axd * kd, kd, 0)
+            oy_l = jax.lax.dynamic_slice_in_dim(oy, axd * kd, kd, 0)
+            field = jax.lax.all_gather(
+                _builder(ox_l, oy_l), shard_bins_axis, axis=0, tiled=True
+            )
+        else:
+            field = _builder(ox, oy)
+    elif use_window:
+        # Pallas/XLA builders read a pre-sliced region with margins and an
+        # all-zero band for invalid beams (the kernel's aligned window loads)
+        region_h = 2 * pad_cells + win + 16
+        region_w = 2 * pad_cells + win + 128
+        region = jax.lax.dynamic_slice(padded, (oy0, ox0), (region_h, region_w))
+        zero_band_local = region_h
+        region = jnp.pad(region, ((0, win + 16), (0, 0)))
+        is_zero_band = oy >= zero_band_row
+        oy = jnp.where(is_zero_band, zero_band_local, oy)
+        padded = region
+
+    if field_impl in ("dft", "conv"):
+        pass  # built above
+    elif shard_bins_axis is not None:
         # theta-bin-sharded build (multi-chip): each device builds K/D bins
         # (the build cost is embarrassingly parallel over bins) and one
         # all_gather of the small field replaces D-fold replicated work;
@@ -284,7 +411,13 @@ def correlation_field_scores(
     from mcmh_localization_tpu.ops.gather_pallas import gather_3d
 
     covered = in_window & in_theta
-    totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc)
+    # "mean" aggregation divides by the beam count, so bf16 field error
+    # (~0.4% relative) lands ~0.05 absolute on per-beam log scores — the
+    # same order as the corr quantization itself, for half the MXU flops;
+    # "sum" keeps raw magnitudes (|v| ~ 1e3+) and needs the hi/lo split
+    prec = "bf16" if config.score_aggregation == "mean" else "split"
+    totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc,
+                       precision=prec)
     totals = jnp.where(in_map & covered, totals, 0.0)
 
     use_coarse = use_window and config.corr_coarse_factor > 0

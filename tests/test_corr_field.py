@@ -397,3 +397,61 @@ def test_corr_theta_window_filter_tracks(house_map):
     true = _wrap(poses[-1])
     err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
     assert err < 0.3, err
+
+
+def test_conv_builder_matches_xla(house_map, default_config):
+    # the MXU cross-correlation builder is numerically equivalent to the
+    # dynamic-slice builder (same offsets, float-assoc tolerance)
+    from mcmh_localization_tpu.models.corr_field import (
+        _bin_offsets, _build_field_conv, _build_field_xla,
+    )
+
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=60)
+    cfg = default_config
+    valid = jnp.isfinite(ranges) & (ranges < cfg.max_range)
+    L = jnp.asarray(
+        np.random.default_rng(1).normal(size=(64, 64)).astype(np.float32)
+    )
+    pad = 20
+    inv_res = 1.0 / house_map.resolution
+    safe_r = jnp.where(valid, ranges, 0.0)
+    u = (safe_r * jnp.cos(angles)).astype(jnp.float32)
+    v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
+    # clip offsets into the stamp (test ranges exceed the small pad)
+    padded0 = jnp.pad(L, pad)
+    zrow = padded0.shape[0]
+    ox, oy = _bin_offsets(u, v, valid, inv_res * 0.2, 12, pad, zrow)
+    got = np.asarray(
+        _build_field_conv(padded0, ox, oy, valid, 2 * pad + 1, 64, 64)
+    )
+    padded = jnp.pad(padded0, ((0, 64), (0, 0)))
+    ref = np.asarray(_build_field_xla(padded, ox, oy, 64, 64))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dft_builder_matches_xla(house_map, default_config):
+    # the DFT-matmul builder equals the dynamic-slice builder
+    from mcmh_localization_tpu.models.corr_field import (
+        _bin_offsets, _build_field_dft, _build_field_xla,
+    )
+
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose, m=60)
+    cfg = default_config
+    valid = jnp.isfinite(ranges) & (ranges < cfg.max_range)
+    L = jnp.asarray(
+        np.random.default_rng(2).normal(size=(64, 64)).astype(np.float32)
+    )
+    pad = 20
+    inv_res = 1.0 / house_map.resolution
+    safe_r = jnp.where(valid, ranges, 0.0)
+    u = (safe_r * jnp.cos(angles)).astype(jnp.float32)
+    v = (safe_r * jnp.sin(angles)).astype(jnp.float32)
+    padded0 = jnp.pad(L, pad)
+    zrow = padded0.shape[0]
+    ox, oy = _bin_offsets(u, v, valid, inv_res * 0.2, 12, pad, zrow)
+    got = np.asarray(_build_field_dft(padded0, ox, oy, valid, 64, 64))
+    padded = jnp.pad(padded0, ((0, 64), (0, 0)))
+    ref = np.asarray(_build_field_xla(padded, ox, oy, 64, 64))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
