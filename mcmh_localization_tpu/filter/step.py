@@ -47,6 +47,7 @@ from mcmh_localization_tpu.ops.resampling import (
     kld_resample,
     softmax_weights,
     systematic_resample_indices,
+    systematic_resample_particles,
 )
 
 
@@ -187,8 +188,10 @@ def _resample_systematic(key, state: FilterState, config: FilterConfig):
     """Non-adaptive path (resample_lvr, amcmh_localizer.py:488-492): LVR to
     the fixed particle count; weights left untouched like the reference
     (the next step recomputes them from scratch anyway)."""
-    idx = systematic_resample_indices(key, state.weights, state.n_max, count=state.count)
-    return state.replace(particles=state.particles[idx]), jnp.float32(0.0)
+    resampled = systematic_resample_particles(
+        key, state.particles, state.weights, state.n_max, count=state.count
+    )
+    return state.replace(particles=resampled), jnp.float32(0.0)
 
 
 def _resample_amcl_simple(key, state: FilterState, grid_map, config: FilterConfig):
@@ -221,10 +224,12 @@ def _resample_amcl_lvr(key, state: FilterState, grid_map, config: FilterConfig):
     k_rs, k_rand, k_coin = jax.random.split(key, 3)
     n = state.count
     p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
-    idx = systematic_resample_indices(k_rs, state.weights, state.n_max, count=n)
+    resampled = systematic_resample_particles(
+        k_rs, state.particles, state.weights, state.n_max, count=n
+    )
     randoms = init_uniform(k_rand, state.n_max, grid_map)
     coins = jax.random.uniform(k_coin, (state.n_max,)) < p_random
-    particles = jnp.where(coins[:, None], randoms, state.particles[idx])
+    particles = jnp.where(coins[:, None], randoms, resampled)
     mask = jnp.arange(state.n_max) < n
     weights = jnp.where(mask, 1.0 / jnp.maximum(n, 1), 0.0)
     return state.replace(particles=particles, weights=weights), p_random
@@ -259,8 +264,10 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     randoms = init_uniform(k_rand, state.n_max, grid_map)
     slot = jnp.arange(state.n_max)
     take_random = slot < n_random
-    kld_idx = jnp.clip(slot - n_random, 0, state.n_max - 1)
-    particles = jnp.where(take_random[:, None], randoms, samples[kld_idx])
+    # samples shifted down by n_random slots is a roll (masked slots
+    # don't care about the wrap) — a gather here would serialize on TPU
+    shifted = jnp.roll(samples, n_random, axis=0)
+    particles = jnp.where(take_random[:, None], randoms, shifted)
 
     new_count = jnp.clip(
         n_random + n_kept, config.min_particles, state.n_max

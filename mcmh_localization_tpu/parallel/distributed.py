@@ -60,7 +60,7 @@ from mcmh_localization_tpu.models.sensor import log_likelihood_field
 from mcmh_localization_tpu.ops.resampling import (
     kld_resample,
     multinomial_resample_indices,
-    systematic_resample_indices,
+    systematic_resample_particles,
 )
 from mcmh_localization_tpu.parallel.sharding import make_mesh, shard_state
 from mcmh_localization_tpu.utils.angles import normalize_angle_about
@@ -328,9 +328,9 @@ def _dist_step(
             ).astype(jnp.int32)
             randoms = init_uniform(k_rand_l, nl, grid_map)
             slot = jnp.arange(nl)
-            kld_idx = jnp.clip(slot - n_random_l, 0, nl - 1)
+            shifted = jnp.roll(samples, n_random_l, axis=0)
             particles = jnp.where(
-                (slot < n_random_l)[:, None], randoms, samples[kld_idx]
+                (slot < n_random_l)[:, None], randoms, shifted
             )
             new_mask = slot < new_count_l
             new_weights = jnp.where(
@@ -351,21 +351,18 @@ def _dist_step(
                     state.particles[idx], randoms,
                 )
             else:
-                idx = systematic_resample_indices(
-                    k_rs_l, state.weights, nl, count=count_l)
+                resampled = systematic_resample_particles(
+                    k_rs_l, state.particles, state.weights, nl, count=count_l)
                 randoms = init_uniform(k_rand_l, nl, grid_map)
                 coins = jax.random.uniform(k_rand_l, (nl,)) < p_random
-                particles = jnp.where(
-                    coins[:, None], randoms, state.particles[idx]
-                )
+                particles = jnp.where(coins[:, None], randoms, resampled)
             new_weights = jnp.where(
                 mask, 1.0 / jnp.maximum(state.count, 1).astype(jnp.float32), 0.0
             )
             state = state.replace(particles=particles, weights=new_weights)
     else:
-        idx = systematic_resample_indices(
-            k_rs_l, state.weights, nl, count=count_l)
-        state = state.replace(particles=state.particles[idx])
+        state = state.replace(particles=systematic_resample_particles(
+            k_rs_l, state.particles, state.weights, nl, count=count_l))
 
     # ---- ring migration: rotate a fixed block to the next island
     if migrate > 0 and n_dev > 1:

@@ -193,3 +193,4 @@ def test_kld_jitter_scale():
     s = np.asarray(samples)
     np.testing.assert_allclose(s.mean(0), [2.0, -1.0, 0.5], atol=0.01)
     np.testing.assert_allclose(s.std(0), KLD_NOISE_STD, rtol=0.15)
+
