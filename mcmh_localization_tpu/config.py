@@ -80,6 +80,28 @@ class FilterConfig:
     # fixed, shape-static number of masked retry rounds; statistically
     # equivalent fallback-to-old-pose semantics.
     motion_retries: int = 4
+    # How proposals landing on non-free cells are handled:
+    #   "reject" (default, reference semantics): rejection-sample with
+    #       motion_retries masked rounds, fall back to the old pose — costs
+    #       retries x N validity lookups per step (parallel_utils.py:339-361).
+    #   "score": take the raw proposal and fold validity into the SENSOR
+    #       score instead — non-free poses get INVALID_SCORE (-100), so MH
+    #       rejects them back to their previous pose and non-MH modes kill
+    #       them at resampling.  Zero validity lookups on the corr path (the
+    #       penalty is added densely to the correlation field once per
+    #       scan).  Deviation (documented): an invalid proposal redistributes
+    #       its mass instead of surviving at its old pose; with MH modes the
+    #       behavior matches the reference fallback almost exactly.
+    motion_validity: str = "reject"
+    # Augmented-MCL injection probabilities below this threshold are treated
+    # as zero (0.0 = reference parity: any p_random > 0 injects,
+    # amcmh_localizer.py:505-513).  In steady tracking the w_fast/w_slow
+    # ratio hovers around 1 with scan noise, so tiny positive p_random
+    # values trigger the (particle-count-proportional) injection machinery
+    # every other step for a handful of particles; a small threshold
+    # (e.g. 0.02) skips that work entirely via lax.cond while leaving
+    # kidnapped-robot recovery (p_random ~ 0.3-1.0) untouched.
+    min_injection_prob: float = 0.0
 
     # --- reference-compatibility quirks (SURVEY.md §7 "Known reference quirks").
     # Each defaults to the *corrected* behavior; set True to bit-follow the
@@ -212,6 +234,8 @@ class FilterConfig:
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")
+        if self.motion_validity not in ("reject", "score"):
+            raise ValueError(f"unknown motion_validity {self.motion_validity!r}")
 
     # -- derived, all static --
     @property

@@ -77,9 +77,10 @@ def state_size(config: FilterConfig) -> int:
 def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterConfig):
     """Motion proposal (move_particles, amcmh_localizer.py:384-408)."""
     key, sub = jax.random.split(state.key)
+    retries = 0 if config.motion_validity == "score" else config.motion_retries
     proposed = sample_motion(
         sub, state.particles, delta, config.alpha, grid_map,
-        retries=config.motion_retries,
+        retries=retries,
     )
     # keep BOTH sets for MH (amcmh_localizer.py:404-405)
     return state.replace(
@@ -201,6 +202,7 @@ def _resample_amcl_simple(key, state: FilterState, grid_map, config: FilterConfi
     k_rs, k_rand = jax.random.split(key)
     n = state.count
     p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    p_random = jnp.where(p_random >= config.min_injection_prob, p_random, 0.0)
     n_random = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
     n_resampled = n - n_random
 
@@ -224,6 +226,7 @@ def _resample_amcl_lvr(key, state: FilterState, grid_map, config: FilterConfig):
     k_rs, k_rand, k_coin = jax.random.split(key, 3)
     n = state.count
     p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    p_random = jnp.where(p_random >= config.min_injection_prob, p_random, 0.0)
     resampled = systematic_resample_particles(
         k_rs, state.particles, state.weights, state.n_max, count=n
     )
@@ -244,6 +247,9 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     k_kld, k_rand = jax.random.split(key)
     n = state.count
     p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+    p_random = jnp.where(
+        p_random >= config.min_injection_prob, p_random, 0.0
+    )
     n_random = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
     n_resampled = n - n_random
 
@@ -261,18 +267,21 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     )
     n_kept = jnp.minimum(n_kept, n_resampled)
 
-    randoms = init_uniform(k_rand, state.n_max, grid_map)
-    slot = jnp.arange(state.n_max)
-    take_random = slot < n_random
-    # samples shifted down by n_random slots is a roll (masked slots
-    # don't care about the wrap) — a gather here would serialize on TPU
-    shifted = jnp.roll(samples, n_random, axis=0)
-    particles = jnp.where(take_random[:, None], randoms, shifted)
+    def _inject(samples):
+        randoms = init_uniform(k_rand, state.n_max, grid_map)
+        take_random = jnp.arange(state.n_max) < n_random
+        # samples shifted down by n_random slots is a roll (masked slots
+        # don't care about the wrap) — a gather here would serialize on TPU
+        shifted = jnp.roll(samples, n_random, axis=0)
+        return jnp.where(take_random[:, None], randoms, shifted)
+
+    # free-cell sampling + roll only run on steps that actually inject
+    particles = jax.lax.cond(n_random > 0, _inject, lambda s: s, samples)
 
     new_count = jnp.clip(
         n_random + n_kept, config.min_particles, state.n_max
     ).astype(jnp.int32)
-    mask = slot < new_count
+    mask = jnp.arange(state.n_max) < new_count
     weights = jnp.where(mask, 1.0 / new_count.astype(jnp.float32), 0.0)
     return (
         state.replace(particles=particles, weights=weights, count=new_count),
@@ -309,6 +318,29 @@ def _correct(
     # row window wide open (slot 0 is always active; count >= 1)
     anchor = state.particles[0]
     p_sc = jnp.where(mask[:, None], state.particles, anchor)
+
+    # motion_validity="score" on non-corr scorers: the corr field folds the
+    # invalid-pose penalty into the field itself (models/corr_field.py); the
+    # exact/pallas/beam paths apply it here with one validity lookup
+    corr_path = (
+        config.sensor_model != "beam"
+        and _resolved_likelihood_impl(config) == "corr"
+    )
+    if config.motion_validity == "score" and not corr_path:
+        from mcmh_localization_tpu.models.sensor import INVALID_SCORE
+
+        rr = ranges[:: config.step] if config.step > 1 else ranges
+        n_valid = jnp.sum(jnp.isfinite(rr) & (rr < config.max_range))
+        pen = (
+            INVALID_SCORE * jnp.maximum(n_valid, 1).astype(jnp.float32)
+            if config.score_aggregation == "sum"
+            else jnp.float32(INVALID_SCORE)
+        )
+        base_score = score
+
+        def score(p, _s=base_score, _pen=pen):
+            return jnp.where(grid_map.valid_mask(p), _s(p), _pen)
+
     if config.use_mh:
         # ONE scorer invocation for both sets: the field build is shared and
         # the lookup kernel's fixed per-invocation cost is paid once

@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from mcmh_localization_tpu.config import FilterConfig
-from mcmh_localization_tpu.models.sensor import BLIND_SCORE, log_likelihood_field
+from mcmh_localization_tpu.models.sensor import (
+    BLIND_SCORE,
+    INVALID_SCORE,
+    log_likelihood_field,
+)
 
 
 def _bin_offsets(u, v, valid, inv_res, n_theta, pad_cells, zero_band_row,
@@ -110,10 +114,15 @@ def _build_field_conv(region, ox, oy, valid, ksize, fh, fw):
     return out[:, :fh, :fw]
 
 
-def _coarse_field_scores(
+def _coarse_field_indices(
     particles, u, v, valid, log_field, grid_map, config, res
 ):
-    """Full-map fallback scores at ``corr_coarse_factor`` downsampling.
+    """Coarse full-map fallback field + per-particle lookup indices.
+
+    Returns ``(field (kc, hc, wc), tbin, my, mx)`` — the gather itself is
+    merged with the fine-field lookup into ONE kernel pass by the caller
+    (ops/gather_pallas.py::gather_2d_select), halving the per-particle
+    lookup traffic vs gathering both fields separately.
 
     Gives out-of-window (but in-map) particles an honest smoothed score so
     augmented-MCL injection can recover a kidnapped robot while the fine
@@ -160,12 +169,23 @@ def _coarse_field_scores(
         ((particles[:, 2] + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)
         % kc
     )
+    if config.motion_validity == "score":
+        # blocks with NO free cell get the invalid-pose penalty; blocks with
+        # any free cell stay optimistic, consistent with the max-pooling
+        free = jnp.pad(
+            grid_map.occupancy == 0,
+            ((0, hc * f - h), (0, wc * f - w)),
+            constant_values=False,
+        )
+        any_free = free.reshape(hc, f, wc, f).any(axis=(1, 3))
+        count = jnp.sum(valid).astype(jnp.float32)
+        field = field + (INVALID_SCORE * jnp.maximum(count, 1.0)) * jnp.where(
+            any_free, 0.0, 1.0
+        )[None]
+
     mx = jnp.clip(mx, 0, wc - 1)
     my = jnp.clip(my, 0, hc - 1)
-    from mcmh_localization_tpu.ops.gather_pallas import gather_3d
-
-    prec = "bf16" if config.score_aggregation == "mean" else "split"
-    return gather_3d(field.astype(jnp.float32), tbin, my, mx, precision=prec)
+    return field.astype(jnp.float32), tbin, my, mx
 
 
 def _build_field_dft(region, ox, oy, valid, fh, fw):
@@ -383,6 +403,24 @@ def correlation_field_scores(
     else:
         field = _build_field_xla(padded, ox, oy, fh, fw)
 
+    count = jnp.sum(valid)
+    score_validity = config.motion_validity == "score"
+    if score_validity:
+        # fold motion validity into the field: non-free cells score
+        # INVALID_SCORE, replacing the motion model's retries x N validity
+        # lookups (motion_validity="score"; see config.py) with one dense
+        # (win x win) add broadcast over theta bins
+        if use_window:
+            occ_win = jax.lax.dynamic_slice(
+                grid_map.occupancy, (oy0, ox0), (fh, fw)
+            )
+        else:
+            occ_win = grid_map.occupancy
+        pen_total = INVALID_SCORE * jnp.maximum(count, 1).astype(jnp.float32)
+        field = field + pen_total * jnp.where(
+            occ_win == 0, 0.0, 1.0
+        )[None].astype(field.dtype)
+
     mx = ((particles[:, 0] - grid_map.origin[0]) * inv_res).astype(jnp.int32)
     my = ((particles[:, 1] - grid_map.origin[1]) * inv_res).astype(jnp.int32)
     tbin = (
@@ -408,7 +446,7 @@ def correlation_field_scores(
         myc = jnp.clip(my, 0, fh - 1)
     # ONE lookup/particle via the MXU gather kernel (clustered rows when
     # tracking -> 1-2 chunk visits; ops/gather_pallas.py)
-    from mcmh_localization_tpu.ops.gather_pallas import gather_3d
+    from mcmh_localization_tpu.ops.gather_pallas import gather_2d_select, gather_3d
 
     covered = in_window & in_theta
     # "mean" aggregation divides by the beam count, so bf16 field error
@@ -416,18 +454,27 @@ def correlation_field_scores(
     # same order as the corr quantization itself, for half the MXU flops;
     # "sum" keeps raw magnitudes (|v| ~ 1e3+) and needs the hi/lo split
     prec = "bf16" if config.score_aggregation == "mean" else "split"
-    totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc,
-                       precision=prec)
-    totals = jnp.where(in_map & covered, totals, 0.0)
 
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
-        coarse_totals = _coarse_field_scores(
+        # fine lookup for covered particles, coarse-fallback lookup for the
+        # rest — ONE fused gather pass over both fields stacked
+        cfield, ck, cy, cx = _coarse_field_indices(
             particles, u, v, valid, log_field, grid_map, config, res
         )
-        totals = jnp.where(in_map & ~covered, coarse_totals, totals)
+        kc, hc, wc = cfield.shape
+        totals = gather_2d_select(
+            field.astype(jnp.float32).reshape(nbins * fh, fw),
+            tbin * fh + myc, mxc,
+            cfield.reshape(kc * hc, wc), ck * hc + cy, cx,
+            use_a=covered, precision=prec,
+        )
+        totals = jnp.where(in_map, totals, 0.0)
+    else:
+        totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc,
+                           precision=prec)
+        totals = jnp.where(in_map & covered, totals, 0.0)
 
-    count = jnp.sum(valid)
     if config.score_aggregation == "sum":
         score = totals
     else:
@@ -439,6 +486,15 @@ def correlation_field_scores(
     # negative, so they must not outscore real ones)
     if not use_coarse:
         score = jnp.where(in_map & ~covered, BLIND_SCORE, score)
+    if score_validity:
+        # out-of-map poses are invalid too (the reference's motion model
+        # would have rejected them, parallel_utils.py:383-386)
+        pen = (
+            INVALID_SCORE * jnp.maximum(count, 1).astype(jnp.float32)
+            if config.score_aggregation == "sum"
+            else jnp.float32(INVALID_SCORE)
+        )
+        score = jnp.where(in_map, score, pen)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
 
 

@@ -98,9 +98,28 @@ def sample_motion(
     Returns (N, 3) proposed particles; a particle keeps its old pose when all
     ``retries`` candidate draws land on non-free cells
     (the reference's fallback at parallel_utils.py:360-361).
+
+    ``retries=0``: no validity check at all — the raw first draw is returned
+    (used with ``motion_validity="score"``, where non-free poses are
+    penalized by the sensor score instead; saves retries x N map lookups).
     """
     n = particles.shape[0]
     s_rot1, s_trans, s_rot2 = _noise_stds(delta, alpha)
+
+    if retries == 0:
+        eps = jax.random.normal(key, (n, 3), dtype=particles.dtype)
+        r1_hat = delta[0] + eps[:, 0] * s_rot1
+        t_hat = delta[1] + eps[:, 1] * s_trans
+        r2_hat = delta[2] + eps[:, 2] * s_rot2
+        heading = particles[:, 2] + r1_hat
+        return jnp.stack(
+            [
+                particles[:, 0] + t_hat * jnp.cos(heading),
+                particles[:, 1] + t_hat * jnp.sin(heading),
+                normalize_angle(heading + r2_hat),
+            ],
+            axis=-1,
+        )
 
     eps = jax.random.normal(key, (retries, n, 3), dtype=particles.dtype)
     r1_hat = delta[0] + eps[..., 0] * s_rot1  # (R, N)

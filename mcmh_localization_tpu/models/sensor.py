@@ -31,6 +31,10 @@ from mcmh_localization_tpu.config import FilterConfig
 LOG_FLOOR = 1e-6        # probability floor (parallel_utils.py:141)
 BLIND_SCORE = -50.0     # no-valid-beam penalty (parallel_utils.py:147)
 RAY_STEP = 0.1          # DDA step in meters (parallel_utils.py:10)
+# Score for poses on non-free cells under motion_validity="score" — must be
+# decisively below any real score so MH rejects and resampling starves them
+# (replaces the reference's motion-model rejection, parallel_utils.py:339-361)
+INVALID_SCORE = -100.0
 
 
 # ---------------------------------------------------------------------------

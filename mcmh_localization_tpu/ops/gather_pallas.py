@@ -174,9 +174,7 @@ def gather_2d(
             .get(mode="promise_in_bounds")
             .astype(jnp.float32)
         )
-    cw = -(-w // 128)
-    padded = jnp.pad(table.astype(jnp.float32), ((0, 0), (0, cw * 128 - w)))
-    folded = padded.reshape(h * cw, 128)
+    folded, cw = _fold_2d(table)
     rows = y * cw + x // 128
     lanes = x % 128
     return gather_rows_lanes(
@@ -198,4 +196,50 @@ def gather_3d(
     return gather_2d(
         table.reshape(kk * h, w), k * h + y, x,
         precision=precision, interpret=interpret,
+    )
+
+
+def _fold_2d(table: jnp.ndarray):
+    """(H, W) -> ((H*cw, 128) folded table, cw) with cw = ceil(W/128):
+    element (y, x) lives at row y*cw + x//128, lane x%128."""
+    h, w = table.shape
+    cw = -(-w // 128)
+    padded = jnp.pad(table.astype(jnp.float32), ((0, 0), (0, cw * 128 - w)))
+    return padded.reshape(h * cw, 128), cw
+
+
+def gather_2d_select(
+    table_a: jnp.ndarray,    # (Ha, Wa) float32
+    ya: jnp.ndarray, xa: jnp.ndarray,
+    table_b: jnp.ndarray,    # (Hb, Wb) float32
+    yb: jnp.ndarray, xb: jnp.ndarray,
+    use_a: jnp.ndarray,      # (N,) bool
+    precision: str = "split",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """out[i] = table_a[ya, xa] if use_a[i] else table_b[yb, xb].
+
+    ONE gather pass over the two tables stacked row-wise — half the kernel
+    invocations and half the gathered elements of two masked gather_2d calls
+    (the per-particle fine-field/coarse-fallback lookup pattern in
+    models/corr_field.py).  Indices assumed in-bounds per their table.
+    """
+    n = ya.shape[0]
+    fa, cwa = _fold_2d(table_a)
+    fb, cwb = _fold_2d(table_b)
+    ra = ya * cwa + xa // 128
+    rb = fa.shape[0] + yb * cwb + xb // 128
+    rows = jnp.where(use_a, ra, rb)
+    lanes = jnp.where(use_a, xa % 128, xb % 128)
+    combined = jnp.concatenate([fa, fb], axis=0)
+    if not _use_kernel(n, interpret):
+        return (
+            combined.reshape(-1)
+            .at[rows * 128 + lanes]
+            .get(mode="promise_in_bounds")
+            .astype(jnp.float32)
+        )
+    return gather_rows_lanes(
+        combined, rows, lanes, precision=precision,
+        interpret=bool(interpret),
     )

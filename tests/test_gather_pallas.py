@@ -82,3 +82,47 @@ def test_gather_clustered_rows_exact():
     out = np.asarray(gather_rows_lanes(table, rows, lanes, interpret=True))
     ref = np.asarray(table)[np.asarray(rows), np.asarray(lanes)]
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gather_2d_select_interpret():
+    from mcmh_localization_tpu.ops.gather_pallas import gather_2d_select
+
+    rng = np.random.default_rng(6)
+    ta = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    tb = jnp.asarray(rng.normal(size=(40, 200)).astype(np.float32))
+    n = 8192
+    ya = jnp.asarray(rng.integers(0, 64, n).astype(np.int32))
+    xa = jnp.asarray(rng.integers(0, 96, n).astype(np.int32))
+    yb = jnp.asarray(rng.integers(0, 40, n).astype(np.int32))
+    xb = jnp.asarray(rng.integers(0, 200, n).astype(np.int32))
+    use_a = jnp.asarray(rng.random(n) < 0.7)
+    out = np.asarray(
+        gather_2d_select(ta, ya, xa, tb, yb, xb, use_a, interpret=True)
+    )
+    ref = np.where(
+        np.asarray(use_a),
+        np.asarray(ta)[np.asarray(ya), np.asarray(xa)],
+        np.asarray(tb)[np.asarray(yb), np.asarray(xb)],
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gather_2d_select_cpu_fallback_exact():
+    from mcmh_localization_tpu.ops.gather_pallas import gather_2d_select
+
+    rng = np.random.default_rng(7)
+    ta = jnp.asarray(rng.normal(size=(16, 20)).astype(np.float32))
+    tb = jnp.asarray(rng.normal(size=(8, 300)).astype(np.float32))
+    n = 700
+    ya = jnp.asarray(rng.integers(0, 16, n).astype(np.int32))
+    xa = jnp.asarray(rng.integers(0, 20, n).astype(np.int32))
+    yb = jnp.asarray(rng.integers(0, 8, n).astype(np.int32))
+    xb = jnp.asarray(rng.integers(0, 300, n).astype(np.int32))
+    use_a = jnp.asarray(rng.random(n) < 0.5)
+    out = np.asarray(gather_2d_select(ta, ya, xa, tb, yb, xb, use_a))
+    ref = np.where(
+        np.asarray(use_a),
+        np.asarray(ta)[np.asarray(ya), np.asarray(xa)],
+        np.asarray(tb)[np.asarray(yb), np.asarray(xb)],
+    )
+    np.testing.assert_array_equal(out, ref)
