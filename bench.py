@@ -68,8 +68,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from mcmh_localization_tpu.config import FilterConfig
-    from mcmh_localization_tpu.filter.step import _correct, _predict
-    from mcmh_localization_tpu.models.sensor import log_likelihood_field
+    from mcmh_localization_tpu.filter.step import (
+        _correct, _predict, _sensor_table,
+    )
     from __graft_entry__ import _build_map, _example_inputs
 
     grid_map = _build_map()
@@ -88,7 +89,7 @@ def main():
             initial_pose=(0.0, 0.0, 0.3),
             **kw,
         )
-        log_field = log_likelihood_field(grid_map, config)
+        log_field = _sensor_table(grid_map, config)
 
         @jax.jit
         def step(state, ranges, angles, delta):
@@ -104,6 +105,12 @@ def main():
         corr_window_cells=128,
         corr_theta_window_bins=32,
         likelihood_impl="corr",
+        # score-based motion validity (no per-proposal map lookups) and
+        # injection gating — the shipped tracking configuration; tracking
+        # parity with reference semantics is asserted in
+        # tests/test_motion_validity.py
+        motion_validity="score",
+        min_injection_prob=0.02,
     )
 
     # headline: flagship tracking config at 100k (FIRST line)
@@ -139,6 +146,16 @@ def main():
     ms_ref = run_config(1_500, likelihood_impl="jnp")
     _emit(f"amhamcl_step_ms_1500_particles_{N_BEAMS}beams_exact", ms_ref,
           1_500)
+
+    # BASELINE.json config #3: 100k particles, ray-cast beam model — the
+    # range-table path (models/range_table.py); the table build is a
+    # once-per-map precompute outside the timed step
+    ms_beam = run_config(
+        100_000, sensor_model="beam", beam_impl="table",
+        beam_table_n_theta=N_BEAMS,
+    )
+    _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_table",
+          ms_beam, 100_000)
 
 
 if __name__ == "__main__":

@@ -166,6 +166,16 @@ class FilterConfig:
     # "auto": corr on TPU, jnp elsewhere
     likelihood_impl: str = "auto"
     corr_n_theta: int = 120
+    # beam (ray-cast) sensor-model implementation:
+    # "dense": per-particle DDA march, exact continuous-angle reference
+    #          semantics (parallel_utils.py:151-201) — materializes a
+    #          (chunk, M, S) working set, CPU/small-N only
+    # "table": precomputed per-map range table + one MXU-gather lookup per
+    #          (particle, beam) — the TPU-native path; heading quantized to
+    #          beam_table_n_theta bins (models/range_table.py)
+    # "auto":  table on TPU, dense elsewhere
+    beam_impl: str = "auto"
+    beam_table_n_theta: int = 360
     # corr field window (cells, 0 = full map): build the correlation field
     # only over a window centered on the particle cloud — the dominant cost
     # lever once the filter has converged.  Particles outside the window
@@ -236,6 +246,10 @@ class FilterConfig:
             raise ValueError("corr_coarse_factor must be >= 0")
         if self.motion_validity not in ("reject", "score"):
             raise ValueError(f"unknown motion_validity {self.motion_validity!r}")
+        if self.beam_impl not in ("auto", "dense", "table"):
+            raise ValueError(f"unknown beam_impl {self.beam_impl!r}")
+        if self.beam_table_n_theta < 8:
+            raise ValueError("beam_table_n_theta must be >= 8")
 
     # -- derived, all static --
     @property

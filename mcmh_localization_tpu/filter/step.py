@@ -108,10 +108,33 @@ def _resolved_likelihood_impl(config: FilterConfig) -> str:
     return impl
 
 
+def _resolved_beam_impl(config: FilterConfig) -> str:
+    impl = config.beam_impl
+    if impl == "auto":
+        # per-(particle, beam) DDA cannot be fast on TPU (N x M x S random
+        # lookups); the precomputed range table costs one MXU-gather lookup
+        # per (particle, beam) instead (models/range_table.py)
+        impl = "table" if jax.default_backend() == "tpu" else "dense"
+    return impl
+
+
 def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
     """Sensor-model dispatch (static): likelihood field (jnp or Pallas) or
-    the ray-cast beam model."""
+    the ray-cast beam model.  ``log_field`` carries the per-(map, config)
+    sensor table built by make_step: the log-likelihood field, or the
+    cell-major range table for the beam "table" path."""
     if config.sensor_model == "beam":
+        if _resolved_beam_impl(config) == "table":
+            from mcmh_localization_tpu.models.range_table import (
+                raycast_table_scores,
+            )
+
+            return functools.partial(
+                raycast_table_scores,
+                ranges=ranges, angles=angles, grid_map=grid_map,
+                config=config, table_cm=log_field,
+                n_theta=config.beam_table_n_theta,
+            )
         from mcmh_localization_tpu.models.sensor import raycast_beam_scores
 
         return functools.partial(
@@ -463,9 +486,28 @@ class FilterModel(NamedTuple):
     init: object
 
 
+def _sensor_table(grid_map, config: FilterConfig):
+    """Per-(map, config) sensor precompute: the log-likelihood field, or the
+    cell-major raycast range table for the beam "table" path."""
+    if (
+        config.sensor_model == "beam"
+        and _resolved_beam_impl(config) == "table"
+    ):
+        from mcmh_localization_tpu.models.range_table import (
+            build_range_table,
+            table_cell_major,
+        )
+
+        table = build_range_table(
+            grid_map, config.beam_table_n_theta, config.max_range
+        )
+        return table_cell_major(table)
+    return log_likelihood_field(grid_map, config)
+
+
 def make_step(config: FilterConfig, grid_map):
     """Build jitted (predict, correct, step) closures for a config + map."""
-    log_field = log_likelihood_field(grid_map, config)
+    log_field = _sensor_table(grid_map, config)
 
     @jax.jit
     def predict(state, delta):
