@@ -56,6 +56,10 @@ def run_filter_on_bag(bag: Bag, config: FilterConfig, grid_map, key):
 
 def _get_bag(args, scenario: str, key) -> Bag:
     if args.bag:
+        if args.bag.endswith(".bag"):  # real ROS1 bag (test_algs.launch:40-44)
+            from mcmh_localization_tpu.io.rosbag import read_rosbag
+
+            return read_rosbag(args.bag)
         return load_bag(args.bag)
     grid_map = load_map(args.map)
     gt = SCENARIOS[scenario](duration=args.duration, rate=args.rate)
