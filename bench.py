@@ -25,8 +25,9 @@ import time
 import numpy as np
 
 N_BEAMS = 360
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 6
+SCAN_LEN = 8   # steps per dispatch
 
 
 def _target_ms(n_particles: int) -> float:
@@ -34,17 +35,31 @@ def _target_ms(n_particles: int) -> float:
 
 
 def _time_step(step, state, ranges, angles, delta):
+    """Steady-state ms/scan.  Each dispatch runs SCAN_LEN chained steps
+    under lax.scan — the remote-tunnel enqueue here costs ~3.5 ms/dispatch
+    (measured empty-chain floor), which would otherwise dominate the
+    sub-10ms operating points; scanning amortizes it to <0.5 ms/scan.
+    Successive dispatches chain through `state`, serializing on device;
+    sync is a scalar value fetch (block_until_ready returns early through
+    the tunnel)."""
+    import jax
+
+    @jax.jit
+    def run_block(state):
+        def body(s, _):
+            s, _info = step(s, ranges, angles, delta)
+            return s, None
+
+        return jax.lax.scan(body, state, None, length=SCAN_LEN)[0]
+
     for _ in range(WARMUP):
-        state, _info = step(state, ranges, angles, delta)
-    # scalar fetch: block_until_ready through the axon tunnel returns early,
-    # so sync via a value fetch; successive steps are naturally dependency-
-    # chained through `state`, serializing execution on device.
+        state = run_block(state)
     float(state.w_slow)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, _info = step(state, ranges, angles, delta)
+        state = run_block(state)
     float(state.w_slow)
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    return (time.perf_counter() - t0) / (ITERS * SCAN_LEN) * 1e3
 
 
 def _emit(metric, ms, n_particles, unit="ms/scan"):

@@ -51,7 +51,8 @@ def _pick_sub(chunks: int, split: bool) -> int:
     return 32 if table_mb > 4.0 else 64
 
 
-def _kernel(tt_ref, rows_ref, lanes_ref, out_ref, *, chunks, split, sub):
+def _kernel(tt_ref, rows_ref, lanes_ref, out_ref, acc_ref, *,
+            chunks, split, sub):
     e = sub * 128
     cw = 2 * RC if split else RC  # contraction width per chunk
     rows_flat = rows_ref[:].reshape(1, e)
@@ -62,21 +63,30 @@ def _kernel(tt_ref, rows_ref, lanes_ref, out_ref, *, chunks, split, sub):
     # one-hot repeats over the hi and lo half of the chunk (riota % RC), so
     # ONE dot per chunk accumulates hi + lo
     riota = jax.lax.broadcasted_iota(jnp.int32, (cw, e), 0) % RC
+    row_chunk = rows_flat // RC
 
-    def chunk_body(c, acc):
-        oh = (riota + c * RC == rows_flat).astype(jnp.bfloat16)
-        return acc + jnp.dot(
-            tt_ref[:, pl.ds(c * cw, cw)], oh,
-            preferred_element_type=jnp.float32,
-        )
+    acc_ref[:] = jnp.zeros((128, e), jnp.float32)
 
-    # dynamic chunk window: only visit chunks this tile's rows touch
+    def chunk_body(c, carry):
+        # predicated skip: a tile whose rows split into distant clusters
+        # (e.g. fine-field rows + coarse-fallback rows in the merged-table
+        # gather) would otherwise pay for every chunk BETWEEN the clusters —
+        # the [min, max] window alone degraded 1M-particle lookups ~10x
+        @pl.when(jnp.any(row_chunk == c))
+        def _():
+            oh = (riota + c * RC == rows_flat).astype(jnp.bfloat16)
+            acc_ref[:, :] += jnp.dot(
+                tt_ref[:, pl.ds(c * cw, cw)], oh,
+                preferred_element_type=jnp.float32,
+            )
+
+        return carry
+
+    # dynamic chunk window bounds the scan; pl.when skips the gaps inside
     lo = jnp.clip(jnp.min(rows_flat) // RC, 0, chunks - 1)
     hi = jnp.clip(jnp.max(rows_flat) // RC, 0, chunks - 1)
-    d = jax.lax.fori_loop(
-        lo, hi + 1, chunk_body, jnp.zeros((128, e), jnp.float32)
-    )
-    picked = jnp.sum(d * mask, axis=0, keepdims=True)
+    jax.lax.fori_loop(lo, hi + 1, chunk_body, 0)
+    picked = jnp.sum(acc_ref[:] * mask, axis=0, keepdims=True)
     out_ref[:] = picked.reshape(sub, 128)
 
 
@@ -137,6 +147,7 @@ def gather_rows_lanes(
         out_specs=pl.BlockSpec((sub, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, sub * 128), jnp.float32)],
         interpret=interpret,
     )(tt_k, rows2, lanes2)
     return out.reshape(-1)[:n]

@@ -106,24 +106,55 @@ def _segment_bounds(key, weights, num_out, count=None):
     return jnp.clip(jnp.ceil(c * denom - r), 0, num_out).astype(jnp.int32)
 
 
+def _fill_forward(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Forward-fill rows of ``vals`` (S, C) from the last row with
+    ``flags`` set (rows before the first set flag keep their value).
+    One associative scan — O(S log S) fully parallel work."""
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf[:, None], bv, av), af | bf
+
+    v, _ = jax.lax.associative_scan(op, (vals, flags))
+    return v
+
+
 def systematic_resample_particles(
     key: jax.Array,
     particles: jnp.ndarray,
     weights: jnp.ndarray,
     num_out: int,
     count: jnp.ndarray | None = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """(num_out, 3) resampled particles — same draw as
     ``particles[systematic_resample_indices(...)]``.
 
-    Implementation note: a fused Pallas "segment expansion" kernel was
-    prototyped for this (stream monotone segments through the MXU via
-    membership one-hots) but its one-hot build volume is inherently
-    O(N x TILE) VPU work — no better than XLA's serial scatter+cummax+
-    gather (~12 ms at 1M on v5e), so the XLA path stays.
+    impl="gather": scatter+cummax the segment INDICES, then one row gather —
+    but XLA's random gather serializes (~4 ns/element, ~12 ms for (1M, 3)
+    on v5e).  impl="scan" (TPU default): scatter the particle VALUES at
+    their segment starts and forward-fill with an associative scan — the
+    expansion never materializes indices and the serial gather disappears.
+    Both draws are identical by construction.
+
+    (A fused Pallas "segment expansion" kernel was also prototyped: its
+    one-hot build volume is inherently O(N x TILE) VPU work — slower than
+    either XLA path.)
     """
-    idx = systematic_resample_indices(key, weights, num_out, count=count)
-    return particles[idx]
+    if impl == "auto":
+        impl = "scan" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
+        idx = systematic_resample_indices(key, weights, num_out, count=count)
+        return particles[idx]
+    bound = _segment_bounds(key, weights, num_out, count)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bound[:-1]])
+    has_copies = bound > prev
+    starts = jnp.where(has_copies, prev, num_out)  # num_out -> dropped
+    seg_vals = jnp.zeros((num_out, particles.shape[1]), particles.dtype)
+    seg_vals = seg_vals.at[starts].set(particles, mode="drop")
+    flags = jnp.zeros(num_out, bool).at[starts].set(True, mode="drop")
+    return _fill_forward(seg_vals, flags)
 
 
 def multinomial_resample_indices(

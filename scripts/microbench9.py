@@ -81,6 +81,18 @@ def main():
               jax.jit(lambda c, rows=rows, lanes=lanes: jnp.sum(
                   gather_rows_lanes(table + c*1e-30, rows, lanes,
                                     precision="split"))*1e-30))
+    # bimodal rows: 99% in one chunk + 1% in a distant chunk (the merged
+    # fine+coarse pattern) — exercises the pl.when chunk skip
+    for nn in (1_000_000,):
+        r1 = rng.integers(1800, 1930, nn).astype(np.int32)
+        far = rng.integers(7000, 7100, nn).astype(np.int32)
+        pick = rng.random(nn) < 0.01
+        rows = jnp.asarray(np.where(pick, far, r1))
+        lanes = jnp.asarray(rng.integers(0, 128, nn).astype(np.int32))
+        timed(f"[{nn//1000}k] gather bf16 BIMODAL rows (1% far)",
+              jax.jit(lambda c, rows=rows, lanes=lanes: jnp.sum(
+                  gather_rows_lanes(table + c*1e-30, rows, lanes,
+                                    precision="bf16"))*1e-30))
     # index-math only: everything in the 1M score except builds+gather
     mxmy = jax.jit(lambda c, p3=p3: jnp.sum(
         (((p3[:,0]+c*1e-30 - gm.origin[0]) / gm.resolution).astype(jnp.int32)

@@ -194,3 +194,29 @@ def test_kld_jitter_scale():
     np.testing.assert_allclose(s.mean(0), [2.0, -1.0, 0.5], atol=0.01)
     np.testing.assert_allclose(s.std(0), KLD_NOISE_STD, rtol=0.15)
 
+
+
+def test_scan_expansion_matches_gather():
+    """impl="scan" (scatter values + associative fill-forward) must produce
+    exactly particles[idx] from impl="gather" — same key, same bounds."""
+    from mcmh_localization_tpu.ops.resampling import (
+        systematic_resample_particles,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    w = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    w = w / jnp.sum(w)
+    key = jax.random.PRNGKey(5)
+    for count in (None, jnp.int32(1000)):
+        a = systematic_resample_particles(
+            key, particles, w, n, count=count, impl="gather")
+        b = systematic_resample_particles(
+            key, particles, w, n, count=count, impl="scan")
+        if count is None:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            c = int(count)
+            np.testing.assert_array_equal(
+                np.asarray(a)[:c], np.asarray(b)[:c])
