@@ -163,13 +163,16 @@ def main():
           1_500)
 
     # BASELINE.json config #3: 100k particles, ray-cast beam model — the
-    # range-table path (models/range_table.py); the table build is a
-    # once-per-map precompute outside the timed step
+    # windowed per-scan SCORE-FIELD path (models/range_table.py::
+    # beam_field_scores); the range-table build is a once-per-map precompute
+    # outside the timed step
     ms_beam = run_config(
-        100_000, sensor_model="beam", beam_impl="table",
+        100_000, sensor_model="beam", beam_impl="field",
         beam_table_n_theta=N_BEAMS,
+        corr_window_cells=128, corr_theta_window_bins=32,
+        motion_validity="score", min_injection_prob=0.02,
     )
-    _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_table",
+    _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_field",
           ms_beam, 100_000)
 
 

@@ -171,9 +171,13 @@ class FilterConfig:
     #          semantics (parallel_utils.py:151-201) — materializes a
     #          (chunk, M, S) working set, CPU/small-N only
     # "table": precomputed per-map range table + one MXU-gather lookup per
-    #          (particle, beam) — the TPU-native path; heading quantized to
-    #          beam_table_n_theta bins (models/range_table.py)
-    # "auto":  table on TPU, dense elsewhere
+    #          (particle, beam); heading quantized to beam_table_n_theta
+    #          bins (models/range_table.py)
+    # "field": per-scan windowed beam SCORE field (dense VPU build + ONE
+    #          lookup/particle — the fast TPU path; requires
+    #          corr_window_cells; models/range_table.py::beam_field_scores)
+    # "auto":  on TPU, field when corr_window_cells is set else table;
+    #          dense elsewhere
     beam_impl: str = "auto"
     beam_table_n_theta: int = 360
     # corr field window (cells, 0 = full map): build the correlation field
@@ -246,7 +250,7 @@ class FilterConfig:
             raise ValueError("corr_coarse_factor must be >= 0")
         if self.motion_validity not in ("reject", "score"):
             raise ValueError(f"unknown motion_validity {self.motion_validity!r}")
-        if self.beam_impl not in ("auto", "dense", "table"):
+        if self.beam_impl not in ("auto", "dense", "table", "field"):
             raise ValueError(f"unknown beam_impl {self.beam_impl!r}")
         if self.beam_table_n_theta < 8:
             raise ValueError("beam_table_n_theta must be >= 8")

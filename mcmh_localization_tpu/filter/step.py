@@ -112,9 +112,19 @@ def _resolved_beam_impl(config: FilterConfig) -> str:
     impl = config.beam_impl
     if impl == "auto":
         # per-(particle, beam) DDA cannot be fast on TPU (N x M x S random
-        # lookups); the precomputed range table costs one MXU-gather lookup
-        # per (particle, beam) instead (models/range_table.py)
-        impl = "table" if jax.default_backend() == "tpu" else "dense"
+        # lookups); the per-scan windowed score field collapses the scan to
+        # dense VPU work + ONE lookup/particle (models/range_table.py::
+        # beam_field_scores), falling back to the range-table lookup path
+        # when no window is configured
+        if jax.default_backend() == "tpu":
+            impl = "field" if config.corr_window_cells else "table"
+        else:
+            impl = "dense"
+    if impl == "field" and not config.corr_window_cells:
+        raise ValueError(
+            "beam_impl='field' requires corr_window_cells > 0 (the beam "
+            "score field is built over the particle-cloud window)"
+        )
     return impl
 
 
@@ -124,6 +134,17 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
     sensor table built by make_step: the log-likelihood field, or the
     cell-major range table for the beam "table" path."""
     if config.sensor_model == "beam":
+        if _resolved_beam_impl(config) == "field":
+            from mcmh_localization_tpu.models.range_table import (
+                beam_field_scores,
+            )
+
+            return functools.partial(
+                beam_field_scores,
+                ranges=ranges, angles=angles, grid_map=grid_map,
+                config=config, table=log_field,
+                n_theta=config.beam_table_n_theta,
+            )
         if _resolved_beam_impl(config) == "table":
             from mcmh_localization_tpu.models.range_table import (
                 raycast_table_scores,
@@ -173,11 +194,15 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
     )
 
 
-def _window_origin(state: FilterState, grid_map, config: FilterConfig):
+def _window_origin(
+    state: FilterState, grid_map, config: FilterConfig,
+    n_theta: int | None = None,
+):
     """Cell coords of the corr-field window's lower-left corner, centered on
     the active particle cloud's mean position; with a theta window
     configured, also the starting global theta-bin (circular-mean heading
-    minus half the window)."""
+    minus half the window).  ``n_theta`` overrides the bin count (the beam
+    score field uses beam_table_n_theta bins; default corr_n_theta)."""
     mask = state.active_mask
     n = jnp.maximum(jnp.sum(mask), 1)
     mean_x = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
@@ -190,7 +215,7 @@ def _window_origin(state: FilterState, grid_map, config: FilterConfig):
         c = jnp.sum(jnp.where(mask, jnp.cos(state.particles[:, 2]), 0.0))
         s = jnp.sum(jnp.where(mask, jnp.sin(state.particles[:, 2]), 0.0))
         mean_t = jnp.arctan2(s, c)
-        k = config.corr_n_theta
+        k = n_theta if n_theta is not None else config.corr_n_theta
         kmid = (
             ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
         )
@@ -326,14 +351,23 @@ def _correct(
 
     # -- weights on previous and proposed sets (update_weights, :252-273)
     score = _make_scorer(ranges, angles, grid_map, log_field, config)
-    if (
-        config.corr_window_cells
-        and config.sensor_model != "beam"
-        and _resolved_likelihood_impl(config) == "corr"
+    beam_field = (
+        config.sensor_model == "beam"
+        and _resolved_beam_impl(config) == "field"
+    )
+    if config.corr_window_cells and (
+        beam_field
+        or (
+            config.sensor_model != "beam"
+            and _resolved_likelihood_impl(config) == "corr"
+        )
     ):
-        # window-limited correlation field centered on the particle cloud;
+        # window-limited score field centered on the particle cloud;
         # the SAME origin for both score calls so XLA CSE builds one field
-        wo = _window_origin(state, grid_map, config)
+        wo = _window_origin(
+            state, grid_map, config,
+            n_theta=config.beam_table_n_theta if beam_field else None,
+        )
         score = functools.partial(score, window_origin=wo)
     # collapse INACTIVE (padded) slots onto an active pose before scoring:
     # their scores are masked out of the softmax anyway, but stale padded
@@ -345,7 +379,7 @@ def _correct(
     # motion_validity="score" on non-corr scorers: the corr field folds the
     # invalid-pose penalty into the field itself (models/corr_field.py); the
     # exact/pallas/beam paths apply it here with one validity lookup
-    corr_path = (
+    corr_path = beam_field or (
         config.sensor_model != "beam"
         and _resolved_likelihood_impl(config) == "corr"
     )
@@ -489,19 +523,21 @@ class FilterModel(NamedTuple):
 def _sensor_table(grid_map, config: FilterConfig):
     """Per-(map, config) sensor precompute: the log-likelihood field, or the
     cell-major raycast range table for the beam "table" path."""
-    if (
-        config.sensor_model == "beam"
-        and _resolved_beam_impl(config) == "table"
-    ):
-        from mcmh_localization_tpu.models.range_table import (
-            build_range_table,
-            table_cell_major,
-        )
+    if config.sensor_model == "beam":
+        impl = _resolved_beam_impl(config)
+        if impl in ("table", "field"):
+            from mcmh_localization_tpu.models.range_table import (
+                build_range_table,
+                table_cell_major,
+            )
 
-        table = build_range_table(
-            grid_map, config.beam_table_n_theta, config.max_range
-        )
-        return table_cell_major(table)
+            table = build_range_table(
+                grid_map, config.beam_table_n_theta, config.max_range
+            )
+            # "field" keeps (K, H, W) for per-scan window slicing;
+            # "table" flattens cell-major for the per-(particle, beam)
+            # MXU-gather lookup
+            return table if impl == "field" else table_cell_major(table)
     return log_likelihood_field(grid_map, config)
 
 

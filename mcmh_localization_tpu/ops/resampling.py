@@ -131,21 +131,31 @@ def systematic_resample_particles(
     """(num_out, 3) resampled particles — same draw as
     ``particles[systematic_resample_indices(...)]``.
 
-    impl="gather": scatter+cummax the segment INDICES, then one row gather —
-    but XLA's random gather serializes (~4 ns/element, ~12 ms for (1M, 3)
-    on v5e).  impl="scan" (TPU default): scatter the particle VALUES at
-    their segment starts and forward-fill with an associative scan — the
-    expansion never materializes indices and the serial gather disappears.
-    Both draws are identical by construction.
+    impl="mxu" (TPU default): scatter+cummax the segment INDICES, then the
+    monotone-windowed one-hot MXU take (ops/take_pallas.py) — bitwise equal
+    to the XLA gather, without its serial ~4 ns/element loop.
+    impl="gather" (default elsewhere): same indices, plain XLA row gather
+    (~12 ms for (1M, 3) on v5e).  impl="scan": scatter the particle VALUES
+    at their segment starts and forward-fill with an associative scan — no
+    index gather, but the scan's log2(N) full passes over (N, 3) + flags
+    measure 59.5 ms at 1M on v5e vs 14.9 ms for the gather path
+    (scripts/microbench10.py), so it stays opt-in.  All draws are identical
+    by construction (tests/test_resampling.py).
 
     (A fused Pallas "segment expansion" kernel was also prototyped: its
     one-hot build volume is inherently O(N x TILE) VPU work — slower than
     either XLA path.)
     """
     if impl == "auto":
-        impl = "scan" if jax.default_backend() == "tpu" else "gather"
-    if impl == "gather":
+        impl = "mxu" if jax.default_backend() == "tpu" else "gather"
+    if impl in ("gather", "mxu"):
         idx = systematic_resample_indices(key, weights, num_out, count=count)
+        if impl == "mxu":
+            from mcmh_localization_tpu.ops.take_pallas import (
+                take_rows_monotone,
+            )
+
+            return take_rows_monotone(particles, idx)
         return particles[idx]
     bound = _segment_bounds(key, weights, num_out, count)
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bound[:-1]])
@@ -197,6 +207,11 @@ def _first_occurrence_hash(bx, by, bt) -> jnp.ndarray:
     (rarely, ~k/2^19) merged — a slight undercount of the occupied-bin
     count k, statistically negligible for the KLD stopping rule, and ~10x
     faster than lexsort on TPU where sorts are the slowest primitive.
+
+    The winners are converted back to a per-sample mask by SCATTERING the
+    table's winner indices (table-size elements), not by gathering
+    ``table[slot]`` per sample — the random gather-back would serialize at
+    ~7.5 ns/element (7.5 ms at 1M samples), dominating the whole KLD pass.
     """
     s = bx.shape[0]
     slot = (
@@ -206,7 +221,8 @@ def _first_occurrence_hash(bx, by, bt) -> jnp.ndarray:
     ) & ((1 << _HASH_BITS) - 1)
     table = jnp.full(1 << _HASH_BITS, s, dtype=jnp.int32)
     table = table.at[slot].min(jnp.arange(s, dtype=jnp.int32))
-    return table[slot] == jnp.arange(s, dtype=jnp.int32)
+    # mask[i] = True iff i won its slot (empty slots hold s -> dropped)
+    return jnp.zeros(s, dtype=bool).at[table].set(True, mode="drop")
 
 
 def _first_occurrence(bx, by, bt, impl: str = "auto") -> jnp.ndarray:

@@ -115,3 +115,115 @@ def test_beam_table_filter_tracks(house_map):
     true = _wrap(poses[-1])
     err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
     assert err < 0.3, err
+
+
+def test_beam_field_matches_table_path(box_map):
+    """beam_field_scores == raycast_table_scores for in-window particles at
+    cell centers with bin-center headings (same quantization, same mixture):
+    the field formulation is a pure reorganization of the same arithmetic."""
+    from mcmh_localization_tpu.models.range_table import beam_field_scores
+
+    k_bins = 16
+    cfg = FilterConfig(max_range=2.0, sigma_hit=0.1,
+                       beam_table_n_theta=k_bins,
+                       corr_window_cells=48)
+    table = build_range_table(box_map, k_bins, 2.0)
+    table_cm = table_cell_major(table)
+
+    dth = 2 * np.pi / k_bins
+    angles = jnp.asarray(np.arange(-4, 5) * dth, jnp.float32)
+    rng = np.random.default_rng(2)
+    ys = rng.integers(10, 54, 48)
+    xs = rng.integers(10, 54, 48)
+    ks = rng.integers(0, k_bins, 48)
+    cx, cy = box_map.grid_to_world(jnp.asarray(xs, jnp.int32),
+                                   jnp.asarray(ys, jnp.int32))
+    th = -np.pi + (ks + 0.5) * dth
+    particles = jnp.stack([cx, cy, jnp.asarray(th, jnp.float32)], axis=1)
+    ranges = raycast(particles[0, :2], particles[0, 2] + angles, box_map, 2.0)
+
+    s_table = np.asarray(
+        raycast_table_scores(particles, ranges, angles, box_map, cfg,
+                             table_cm, k_bins)
+    )
+    # window covering all sampled cells (cells 10..53 < origin 8 + win 48)
+    s_field = np.asarray(
+        beam_field_scores(particles, ranges, angles, box_map, cfg,
+                          table, k_bins, window_origin=(8, 8))
+    )
+    np.testing.assert_allclose(s_field, s_table, rtol=1e-5, atol=1e-5)
+
+
+def test_beam_field_theta_window_and_escapees(box_map):
+    """Theta-window lookups agree with the full-bin field for in-window
+    headings; spatial/theta escapees take the blind penalty."""
+    from mcmh_localization_tpu.models.range_table import beam_field_scores
+    from mcmh_localization_tpu.models.sensor import BLIND_SCORE
+
+    k_bins = 16
+    cfg_full = FilterConfig(max_range=2.0, sigma_hit=0.1,
+                            beam_table_n_theta=k_bins,
+                            corr_window_cells=32)
+    cfg_tw = cfg_full.replace(corr_theta_window_bins=6)
+    table = build_range_table(box_map, k_bins, 2.0)
+    dth = 2 * np.pi / k_bins
+    angles = jnp.asarray(np.arange(-3, 4) * dth, jnp.float32)
+
+    # particles inside window [16,48) x [16,48), headings in bins 5..8
+    rng = np.random.default_rng(3)
+    ys = rng.integers(18, 44, 24)
+    xs = rng.integers(18, 44, 24)
+    ks = rng.integers(5, 9, 24)
+    cx, cy = box_map.grid_to_world(jnp.asarray(xs, jnp.int32),
+                                   jnp.asarray(ys, jnp.int32))
+    th = -np.pi + (ks + 0.5) * dth
+    particles = jnp.stack([cx, cy, jnp.asarray(th, jnp.float32)], axis=1)
+    ranges = raycast(particles[0, :2], particles[0, 2] + angles, box_map, 2.0)
+
+    s_full = np.asarray(beam_field_scores(
+        particles, ranges, angles, box_map, cfg_full, table, k_bins,
+        window_origin=(16, 16)))
+    s_tw = np.asarray(beam_field_scores(
+        particles, ranges, angles, box_map, cfg_tw, table, k_bins,
+        window_origin=(16, 16, 4)))  # bins 4..9 cover headings 5..8
+    np.testing.assert_allclose(s_tw, s_full, rtol=1e-5, atol=1e-5)
+
+    # heading outside the theta window -> blind
+    far = particles.at[:, 2].set(-np.pi + 0.5 * dth)  # bin 0
+    s_esc = np.asarray(beam_field_scores(
+        far[:2], ranges, angles, box_map, cfg_tw, table, k_bins,
+        window_origin=(16, 16, 4)))
+    np.testing.assert_allclose(s_esc, BLIND_SCORE)
+
+    # position outside the spatial window -> blind
+    wx, wy = box_map.grid_to_world(jnp.int32(8), jnp.int32(8))
+    out_p = jnp.asarray([[float(wx), float(wy), float(-np.pi + 4.5 * dth)]])
+    s_out = np.asarray(beam_field_scores(
+        out_p, ranges, angles, box_map, cfg_tw, table, k_bins,
+        window_origin=(16, 16, 4)))
+    np.testing.assert_allclose(s_out, BLIND_SCORE)
+
+
+def test_beam_field_filter_tracks(house_map):
+    """Filter-level: windowed beam score field tracks on the house map
+    (the bench's beam operating point, CPU-small)."""
+    from mcmh_localization_tpu.filter.step import make_model
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(12)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="MCL", num_particles=300, initialized=True,
+        initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        sensor_model="beam", beam_impl="field", beam_table_n_theta=120,
+        corr_window_cells=96, corr_theta_window_bins=24,
+        sigma_hit=0.2,
+        alpha1=0.02, alpha2=0.02, alpha3=0.05, alpha4=0.01,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.3, err

@@ -220,3 +220,43 @@ def test_scan_expansion_matches_gather():
             c = int(count)
             np.testing.assert_array_equal(
                 np.asarray(a)[:c], np.asarray(b)[:c])
+
+def test_mxu_take_matches_gather():
+    """take_rows_monotone (interpret) is bitwise equal to particles[idx]
+    for systematic-resampling index vectors, including count-truncated."""
+    from mcmh_localization_tpu.ops.resampling import (
+        systematic_resample_indices,
+    )
+    from mcmh_localization_tpu.ops.take_pallas import take_rows_monotone
+
+    rng = np.random.default_rng(12)
+    n = 8192
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    w = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    w = w / jnp.sum(w)
+    key = jax.random.PRNGKey(9)
+    for count in (None, jnp.int32(3000)):
+        idx = systematic_resample_indices(key, w, n, count=count)
+        a = np.asarray(particles)[np.asarray(idx)]
+        b = take_rows_monotone(particles, idx, interpret=True)
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_mxu_take_span_fallback():
+    """Adversarial spans (indices jumping across the whole array) at
+    kernel-eligible sizes still produce the exact gather via the cond
+    fallback (exercised on CPU through the interpret-free path)."""
+    from mcmh_localization_tpu.ops.take_pallas import take_rows_monotone
+
+    rng = np.random.default_rng(13)
+    n = 40000
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    # monotone but spanning the full range inside one tile
+    idx = jnp.asarray(
+        np.sort(np.concatenate([np.zeros(100, np.int32),
+                                np.full(n - 100, n - 1, np.int32)]))
+    )
+    out = take_rows_monotone(particles, idx)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(particles)[np.asarray(idx)]
+    )
