@@ -156,11 +156,24 @@ def gather_rows_lanes(
 # Below the crossover the XLA serial gather's fixed cost wins; above it the
 # kernel's ~5x per-element advantage dominates (v5e measurement).
 _MIN_N = 16384
+# The kernel holds the whole (transposed, bf16[, +lo-plane]) table resident
+# in VMEM (~16 MB/core on v5e); beyond this budget Mosaic spills and the
+# kernel runs SLOWER than the serial XLA gather (observed 866 vs ~270
+# ms/scan on the 113 MB folded raycast table) — fall back instead.
+_MAX_TABLE_BYTES = 10 * 2 ** 20
 
 
-def _use_kernel(n: int, interpret) -> bool:
+def _table_bytes(rows: int, precision: str) -> int:
+    per = 4 if precision == "split" else 2  # bf16 hi [+ lo]
+    return ((rows + RC - 1) // RC) * RC * 128 * per
+
+
+def _use_kernel(n: int, interpret, rows: int = 0,
+                precision: str = "split") -> bool:
     if interpret is not None:
         return True
+    if rows and _table_bytes(rows, precision) > _MAX_TABLE_BYTES:
+        return False
     return jax.default_backend() == "tpu" and n >= _MIN_N
 
 
@@ -178,7 +191,8 @@ def gather_2d(
     """
     h, w = table.shape
     n = y.shape[0]
-    if not _use_kernel(n, interpret):
+    if not _use_kernel(n, interpret, rows=h * (-(-w // 128)),
+                       precision=precision):
         return (
             table.reshape(-1)
             .at[y * w + x]
@@ -243,7 +257,8 @@ def gather_2d_select(
     rows = jnp.where(use_a, ra, rb)
     lanes = jnp.where(use_a, xa % 128, xb % 128)
     combined = jnp.concatenate([fa, fb], axis=0)
-    if not _use_kernel(n, interpret):
+    if not _use_kernel(n, interpret, rows=combined.shape[0],
+                       precision=precision):
         return (
             combined.reshape(-1)
             .at[rows * 128 + lanes]

@@ -142,7 +142,26 @@ def main():
         return c + jnp.sum(s[:8]) * 1e-30 + n_kept * 1e-30
     timed(f"[{N//1000}k] kld_resample", kld)
 
-    for impl in ("gather", "scan"):
+    from mcmh_localization_tpu.ops.take_pallas import take_rows_monotone
+    from mcmh_localization_tpu.ops.resampling import (
+        systematic_resample_indices,
+    )
+
+    idx0 = systematic_resample_indices(key, w, N)
+
+    @jax.jit
+    def takex(c):
+        out = take_rows_monotone(p + c * 1e-30, idx0)
+        return c + jnp.sum(out[:8]) * 1e-30
+    timed(f"[{N//1000}k] take_rows_monotone (kernel)", takex)
+
+    @jax.jit
+    def takeg(c):
+        out = (p + c * 1e-30)[idx0]
+        return c + jnp.sum(out[:8]) * 1e-30
+    timed(f"[{N//1000}k] particles[idx] (XLA)", takeg)
+
+    for impl in ("mxu", "gather", "scan"):
         @jax.jit
         def rs(c, impl=impl):
             out = systematic_resample_particles(
