@@ -446,7 +446,10 @@ def correlation_field_scores(
         myc = jnp.clip(my, 0, fh - 1)
     # ONE lookup/particle via the MXU gather kernel (clustered rows when
     # tracking -> 1-2 chunk visits; ops/gather_pallas.py)
-    from mcmh_localization_tpu.ops.gather_pallas import gather_2d_select, gather_3d
+    from mcmh_localization_tpu.ops.gather_pallas import (
+        gather_2d,
+        gather_2d_select,
+    )
 
     covered = in_window & in_theta
     # "mean" aggregation divides by the beam count, so bf16 field error
@@ -455,6 +458,16 @@ def correlation_field_scores(
     # "sum" keeps raw magnitudes (|v| ~ 1e3+) and needs the hi/lo split
     prec = "bf16" if config.score_aggregation == "mean" else "split"
 
+    # THETA-MINOR row layout (row = y*nbins + tbin, not tbin*fh + y): the
+    # MXU gather kernel's cost is linear in 128-row chunks VISITED per
+    # index tile; a converged cloud is spatially tight but spreads over
+    # many theta bins, so theta-major rows visit one chunk PER BIN while
+    # theta-minor rows pack (y-spread x nbins) consecutive rows into a few
+    # chunks.  The (nbins, fh, fw) -> (fh, nbins, fw) transpose is ~2 MB.
+    field_t = field.astype(jnp.float32).transpose(1, 0, 2).reshape(
+        fh * nbins, fw
+    )
+    rows_fine_y = myc * nbins + tbin
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback lookup for the
@@ -463,16 +476,15 @@ def correlation_field_scores(
             particles, u, v, valid, log_field, grid_map, config, res
         )
         kc, hc, wc = cfield.shape
+        cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
         totals = gather_2d_select(
-            field.astype(jnp.float32).reshape(nbins * fh, fw),
-            tbin * fh + myc, mxc,
-            cfield.reshape(kc * hc, wc), ck * hc + cy, cx,
+            field_t, rows_fine_y, mxc,
+            cfield_t, cy * kc + ck, cx,
             use_a=covered, precision=prec,
         )
         totals = jnp.where(in_map, totals, 0.0)
     else:
-        totals = gather_3d(field.astype(jnp.float32), tbin, myc, mxc,
-                           precision=prec)
+        totals = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
         totals = jnp.where(in_map & covered, totals, 0.0)
 
     if config.score_aggregation == "sum":

@@ -160,7 +160,7 @@ def beam_field_scores(
     relocalization configs).
     """
     from mcmh_localization_tpu.models.sensor import INVALID_SCORE
-    from mcmh_localization_tpu.ops.gather_pallas import gather_3d
+    from mcmh_localization_tpu.ops.gather_pallas import gather_2d
 
     max_range = config.max_range
     sigma = config.sigma_hit
@@ -235,8 +235,14 @@ def beam_field_scores(
     in_window = (mxw >= 0) & (mxw < win) & (myw >= 0) & (myw < win)
     covered = in_window & in_theta
     prec = "bf16" if config.score_aggregation == "mean" else "split"
-    totals = gather_3d(
-        field, tbin, jnp.clip(myw, 0, win - 1), jnp.clip(mxw, 0, win - 1),
+    # theta-minor rows: converged clouds are spatially tight but spread
+    # over theta bins — pack (y, bin) rows so the gather kernel visits few
+    # 128-row chunks (see models/corr_field.py lookup comment)
+    field_t = field.transpose(1, 0, 2).reshape(win * nbins, win)
+    totals = gather_2d(
+        field_t,
+        jnp.clip(myw, 0, win - 1) * nbins + tbin,
+        jnp.clip(mxw, 0, win - 1),
         precision=prec,
     )
     totals = jnp.where(in_map & covered, totals, 0.0)

@@ -81,19 +81,21 @@ def systematic_resample_indices(
     TPU-first: because BOTH the positions u_m and the CDF are monotone, the
     merge needs no sort or per-query binary search.  Each input particle i
     covers output slots [L(c_{i-1}), L(c_i)) with L(c) = #{m: u_m < c} =
-    clip(ceil(c*M - r), 0, num_out); we scatter i at its segment start and
-    forward-fill with a cumulative max — scatter + two scans, no O(n log n)
-    sort (XLA sorts are the slowest primitive on TPU at these sizes).
+    clip(ceil(c*M - r), 0, num_out), so ``idx[m] = #{i : L(c_i) <= m}`` —
+    the rank of m in the sorted bound array.  On TPU that rank is computed
+    by the windowed-merge kernel (ops/rank_pallas.py, ~0.5 ms at 1M);
+    elsewhere by scatter-at-segment-start + cumulative max (the XLA
+    fallback inside rank_in_sorted — TPU scatter alone costs ~10 ms at 1M,
+    scripts/microbench11.py).
+
+    With ``count`` given, output slots m >= count are implementation-
+    defined tail repeats (callers mask them); slots < count agree across
+    implementations.
     """
+    from mcmh_localization_tpu.ops.rank_pallas import rank_in_sorted
+
     bound = _segment_bounds(key, weights, num_out, count)
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bound[:-1]])
-    has_copies = bound > prev
-    n = weights.shape[0]
-    starts = jnp.where(has_copies, prev, num_out)  # num_out -> dropped
-    seg = jnp.full(num_out, -1, dtype=jnp.int32)
-    seg = seg.at[starts].max(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    idx = jax.lax.cummax(seg)
-    return jnp.clip(idx, 0, n - 1)
+    return rank_in_sorted(bound, num_out)
 
 
 def _segment_bounds(key, weights, num_out, count=None):
@@ -102,8 +104,15 @@ def _segment_bounds(key, weights, num_out, count=None):
     denom = jnp.float32(num_out) if count is None else count.astype(jnp.float32)
     r = jax.random.uniform(key, (), minval=0.0, maxval=1.0)
     c = _normalized_cumsum(weights)  # (N,)
-    # boundary L(c_i): number of output positions strictly below c_i
-    return jnp.clip(jnp.ceil(c * denom - r), 0, num_out).astype(jnp.int32)
+    # boundary L(c_i): number of output positions strictly below c_i.
+    # XLA's parallel-scan cumsum is NOT guaranteed monotone (tree
+    # reassociation can dip adjacent partial sums by an ulp), and ceil
+    # amplifies a dip across an integer boundary into bound[i+1] < bound[i]
+    # — which breaks the sorted-rank kernel (ops/rank_pallas.py) and makes
+    # segment starts implementation-dependent.  cummax restores the
+    # mathematical monotonicity (observed: 1 dip per ~1M entries on v5e).
+    bound = jnp.clip(jnp.ceil(c * denom - r), 0, num_out).astype(jnp.int32)
+    return jax.lax.cummax(bound)
 
 
 def _fill_forward(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:

@@ -108,6 +108,20 @@ def main():
     score_cfg(config, two, "[2M] corr full (with coarse)")
     score_cfg(cfg_nc, two, "[2M] corr full (no coarse)")
 
+    # realistic CONVERGED cloud: ~0.5 m position spread (10 cells), full
+    # theta-window heading spread — the regime where theta-major rows
+    # visited one chunk per bin
+    n = p.shape[0]
+    wide = jnp.stack([
+        p[:, 0] + jnp.asarray(rng.normal(0, 0.25, n), jnp.float32),
+        p[:, 1] + jnp.asarray(rng.normal(0, 0.25, n), jnp.float32),
+        p[:, 2] + jnp.asarray(rng.normal(0, 0.4, n), jnp.float32),
+    ], axis=1)
+    score_cfg(config, wide, "[1M] corr full wide-cloud (coarse)")
+    score_cfg(cfg_nc, wide, "[1M] corr full wide-cloud (no coarse)")
+    score_cfg(cfg_nc, jnp.concatenate([wide, wide + 1e-4]),
+              "[2M] corr full wide-cloud (no coarse)")
+
 
 if __name__ == "__main__":
     main()

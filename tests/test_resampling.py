@@ -260,3 +260,43 @@ def test_mxu_take_span_fallback():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(particles)[np.asarray(idx)]
     )
+
+def test_rank_kernel_matches_xla():
+    """rank_pallas interpret kernel == scatter+cummax on random, spiky,
+    and degenerate weight patterns (the resampling index path)."""
+    from mcmh_localization_tpu.ops.rank_pallas import rank_in_sorted
+    from mcmh_localization_tpu.ops.resampling import _segment_bounds
+
+    rng = np.random.default_rng(21)
+    key = jax.random.PRNGKey(3)
+    n = 16384
+    cases = {
+        "uniform": np.ones(n),
+        "exponential": rng.exponential(size=n),
+        "spiky": np.where(rng.random(n) < 0.001, 1000.0, 1e-6),
+        "leading-zeros": np.concatenate([np.zeros(n // 2), np.ones(n // 2)]),
+        "trailing-zeros": np.concatenate([np.ones(n // 2), np.zeros(n // 2)]),
+    }
+    for name, w in cases.items():
+        w = jnp.asarray((w / w.sum()).astype(np.float32))
+        bound = _segment_bounds(key, w, n, None)
+        a = rank_in_sorted(bound, n)              # CPU -> XLA path
+        b = rank_in_sorted(bound, n, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_rank_kernel_count_prefix():
+    """With a traced count, the kernel and XLA paths agree on [:count]."""
+    from mcmh_localization_tpu.ops.rank_pallas import rank_in_sorted
+    from mcmh_localization_tpu.ops.resampling import _segment_bounds
+
+    rng = np.random.default_rng(22)
+    key = jax.random.PRNGKey(5)
+    n = 16384
+    w = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    w = w / jnp.sum(w)
+    c = 5000
+    bound = _segment_bounds(key, w, n, jnp.int32(c))
+    a = rank_in_sorted(bound, n)
+    b = rank_in_sorted(bound, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a)[:c], np.asarray(b)[:c])
