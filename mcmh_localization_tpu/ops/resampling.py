@@ -278,6 +278,13 @@ def kld_resample(
     )
     samples = drawn + noise
 
+    if min_particles >= max_samples:
+        # the caller clamps the new count to [min_particles, max_samples],
+        # so with min == max the stopping rule is provably dead — skip the
+        # bin-counting machinery entirely (the 1M-sample hash scatter is
+        # ~8 ms on v5e); draws and jitter semantics are unchanged
+        return samples, jnp.int32(max_samples)
+
     # bin ids; int() truncation toward zero like the reference (:573-575)
     bx = (samples[:, 0] / bin_size_xy).astype(jnp.int32)
     by = (samples[:, 1] / bin_size_xy).astype(jnp.int32)
