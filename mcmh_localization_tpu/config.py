@@ -141,7 +141,13 @@ class FilterConfig:
     # "beam" is its dormant ray-cast model (compute_likelihoods_raycast,
     # parallel_utils.py:151-201 — imported but never called there; fully
     # functional here).  Beam-model parameters reuse sigma_hit/z_hit/z_rand.
+    # "lidar3d" (BASELINE stretch config #5, no reference equivalent):
+    # planar pose + 3-D multi-ring lidar scored against a voxel-map EDT
+    # (models/sensor3d.py); pass the VoxelMap via make_model(...,
+    # voxel_map=...) and use a nav_slice GridMap for motion/injection.
+    # The step's `angles` argument becomes (M, 2) [azimuth, elevation].
     sensor_model: str = "likelihood_field"
+    lidar3d_sensor_z: float = 0.0
     # Per-particle score = mean of beam log-likelihoods (the reference's
     # valid-count normalization, parallel_utils.py:145 — heavily tempered:
     # weights stay near-uniform and global localization converges slowly) or
@@ -225,7 +231,7 @@ class FilterConfig:
             object.__setattr__(self, "max_particles", self.num_particles)
         if self.step < 1:
             raise ValueError("step must be >= 1")
-        if self.sensor_model not in ("likelihood_field", "beam"):
+        if self.sensor_model not in ("likelihood_field", "beam", "lidar3d"):
             raise ValueError(f"unknown sensor_model {self.sensor_model!r}")
         if self.adaptive_resampler not in ("kld", "simple", "lvr"):
             raise ValueError(f"unknown adaptive_resampler {self.adaptive_resampler!r}")

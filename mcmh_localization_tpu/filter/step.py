@@ -133,6 +133,16 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
     the ray-cast beam model.  ``log_field`` carries the per-(map, config)
     sensor table built by make_step: the log-likelihood field, or the
     cell-major range table for the beam "table" path."""
+    if config.sensor_model == "lidar3d":
+        from mcmh_localization_tpu.models.sensor3d import lidar3d_scores
+
+        # angles carries (M, 2) [azimuth, elevation]; log_field carries the
+        # VoxelMap pytree (see _sensor_table)
+        return functools.partial(
+            lidar3d_scores,
+            ranges=ranges, directions=angles, voxel_map=log_field,
+            config=config, sensor_z=config.lidar3d_sensor_z,
+        )
     if config.sensor_model == "beam":
         if _resolved_beam_impl(config) == "field":
             from mcmh_localization_tpu.models.range_table import (
@@ -520,9 +530,17 @@ class FilterModel(NamedTuple):
     init: object
 
 
-def _sensor_table(grid_map, config: FilterConfig):
+def _sensor_table(grid_map, config: FilterConfig, voxel_map=None):
     """Per-(map, config) sensor precompute: the log-likelihood field, or the
     cell-major raycast range table for the beam "table" path."""
+    if config.sensor_model == "lidar3d":
+        if voxel_map is None:
+            raise ValueError(
+                "sensor_model='lidar3d' requires make_step/make_model("
+                "..., voxel_map=VoxelMap); grid_map stays the 2-D "
+                "navigation slice (maps/voxel_map.py::nav_slice)"
+            )
+        return voxel_map
     if config.sensor_model == "beam":
         impl = _resolved_beam_impl(config)
         if impl in ("table", "field"):
@@ -541,9 +559,12 @@ def _sensor_table(grid_map, config: FilterConfig):
     return log_likelihood_field(grid_map, config)
 
 
-def make_step(config: FilterConfig, grid_map):
-    """Build jitted (predict, correct, step) closures for a config + map."""
-    log_field = _sensor_table(grid_map, config)
+def make_step(config: FilterConfig, grid_map, voxel_map=None):
+    """Build jitted (predict, correct, step) closures for a config + map.
+
+    ``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is then
+    the 2-D navigation slice used by motion validity and injection)."""
+    log_field = _sensor_table(grid_map, config, voxel_map)
 
     @jax.jit
     def predict(state, delta):
@@ -563,9 +584,9 @@ def make_step(config: FilterConfig, grid_map):
     return predict, correct, step, log_field
 
 
-def make_model(config: FilterConfig, grid_map) -> FilterModel:
+def make_model(config: FilterConfig, grid_map, voxel_map=None) -> FilterModel:
     """One-stop construction: init + jitted step functions + scan runner."""
-    predict, correct, step, log_field = make_step(config, grid_map)
+    predict, correct, step, log_field = make_step(config, grid_map, voxel_map)
     n_max = state_size(config)
 
     def init(key, initial_pose=None, initial_cov=None) -> FilterState:

@@ -471,18 +471,35 @@ def correlation_field_scores(
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback lookup for the
-        # rest — ONE fused gather pass over both fields stacked
-        cfield, ck, cy, cx = _coarse_field_indices(
-            particles, u, v, valid, log_field, grid_map, config, res
+        # rest — ONE fused gather pass over both fields stacked.  The whole
+        # coarse machinery (fallback-field build + merged gather) only runs
+        # on steps where some in-map particle actually escaped the window
+        # (kidnap recovery, injection); in steady tracking the lax.cond
+        # takes the fine-only branch, skipping ~2 ms of fixed build and
+        # ~0.7 ns/particle of merged-gather overhead (v5e)
+        def _with_coarse(_):
+            cfield, ck, cy, cx = _coarse_field_indices(
+                particles, u, v, valid, log_field, grid_map, config, res
+            )
+            kc, hc, wc = cfield.shape
+            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+            t = gather_2d_select(
+                field_t, rows_fine_y, mxc,
+                cfield_t, cy * kc + ck, cx,
+                use_a=covered, precision=prec,
+            )
+            return jnp.where(in_map, t, 0.0)
+
+        def _fine_only(_):
+            # no escapees exist on this branch, so covered == in-window
+            # in-map and the coarse contribution is vacuous
+            t = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
+            return jnp.where(in_map & covered, t, 0.0)
+
+        need_coarse = jnp.any(in_map & ~covered)
+        totals = jax.lax.cond(
+            need_coarse, _with_coarse, _fine_only, operand=None
         )
-        kc, hc, wc = cfield.shape
-        cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
-        totals = gather_2d_select(
-            field_t, rows_fine_y, mxc,
-            cfield_t, cy * kc + ck, cx,
-            use_a=covered, precision=prec,
-        )
-        totals = jnp.where(in_map, totals, 0.0)
     else:
         totals = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
         totals = jnp.where(in_map & covered, totals, 0.0)

@@ -455,3 +455,46 @@ def test_dft_builder_matches_xla(house_map, default_config):
     padded = jnp.pad(padded0, ((0, 64), (0, 0)))
     ref = np.asarray(_build_field_xla(padded, ox, oy, 64, 64))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
+
+
+def test_coarse_cond_branch_equivalence(house_map):
+    """With every particle inside the window, the gated fine-only branch
+    must produce scores identical to forcing the merged coarse gather
+    (the lax.cond optimization cannot change results)."""
+    import jax.numpy as jnp
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.models.corr_field import (
+        correlation_field_scores,
+    )
+    from mcmh_localization_tpu.models.sensor import (
+        log_likelihood_field, raycast,
+    )
+
+    cfg = FilterConfig(
+        likelihood_impl="corr", corr_n_theta=24, corr_window_cells=64,
+        corr_coarse_factor=4, corr_coarse_n_theta=8, max_range=3.0,
+    )
+    lf = log_likelihood_field(house_map, cfg)
+    rng = np.random.default_rng(4)
+    n = 96
+    # cloud tight around map center -> all in a window at (64, 64)
+    particles = jnp.asarray(np.stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        rng.uniform(-np.pi, np.pi, n)], 1).astype(np.float32))
+    angles = jnp.linspace(-np.pi, np.pi, 24).astype(jnp.float32)
+    ranges = raycast(particles[0, :2], particles[0, 2] + angles,
+                     house_map, 3.0)
+    wo = (64, 64)
+    a = correlation_field_scores(
+        particles, ranges=ranges, angles=angles, grid_map=house_map,
+        config=cfg, log_field=lf, n_theta=24, window_origin=wo)
+    # forcing the coarse path by disabling the gate is equivalent to one
+    # escapee particle being present; scores of the ORIGINAL particles
+    # must not change
+    far = jnp.asarray([[3.5, 3.5, 0.0]], jnp.float32)  # in-map, far away
+    b = correlation_field_scores(
+        jnp.concatenate([particles, far]), ranges=ranges, angles=angles,
+        grid_map=house_map, config=cfg, log_field=lf, n_theta=24,
+        window_origin=wo)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b)[:n],
+                               rtol=1e-6, atol=1e-6)
