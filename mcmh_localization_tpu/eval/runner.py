@@ -76,7 +76,10 @@ def _base_config(args) -> FilterConfig:
         cfg = FilterConfig.from_yaml(args.params)
     else:
         cfg = FilterConfig()
-    return cfg.replace(max_range=args.max_range)
+    cfg = cfg.replace(max_range=args.max_range)
+    if getattr(args, "sensor_model", None):
+        cfg = cfg.replace(sensor_model=args.sensor_model)
+    return cfg
 
 
 def _with_init(cfg: FilterConfig, args, bag: Bag) -> FilterConfig:
@@ -181,6 +184,12 @@ def build_parser():
         sp.add_argument("--particles", type=int, default=1500)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--initialized", action="store_true")
+        sp.add_argument(
+            "--sensor-model", dest="sensor_model", default=None,
+            choices=["likelihood_field", "beam"],
+            help="override the sensor model (lidar3d needs the python API "
+                 "with a VoxelMap)",
+        )
         sp.add_argument("--repeats", type=int, default=1)
 
     s = sub.add_parser("single", help="one bag x one mode")

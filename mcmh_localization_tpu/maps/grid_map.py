@@ -41,6 +41,11 @@ class GridMap:
     # sampling without the reference's 50x oversample-and-reject
     # (parallel_utils.py:450-465).
     free_xy: jnp.ndarray
+    # (H, W) float32 cached 0/1 free mask — is_free_world's gather table,
+    # precomputed so per-step validity checks don't re-materialize the
+    # occupancy conversion (it is NOT constant-folded when the map is a
+    # traced argument, e.g. under vmap multi-map batching)
+    free_mask: jnp.ndarray
 
     @property
     def height(self) -> int:
@@ -108,7 +113,7 @@ class GridMap:
 
         mx, my = self.world_to_grid(x, y)
         ok = self.in_bounds(mx, my)
-        free = (self.occupancy == 0).astype(jnp.float32)
+        free = self.free_mask
         mxc = jnp.clip(mx, 0, self.width - 1).reshape(-1)
         myc = jnp.clip(my, 0, self.height - 1).reshape(-1)
         vals = gather_2d(free, myc, mxc, precision="bf16").reshape(ok.shape)
@@ -153,6 +158,7 @@ def build_grid_map(
         origin=jnp.asarray(origin[:2], dtype=jnp.float32),
         resolution=jnp.asarray(resolution, dtype=jnp.float32),
         free_xy=jnp.asarray(free_xy),
+        free_mask=jnp.asarray(occupancy == 0, dtype=jnp.float32),
     )
 
 

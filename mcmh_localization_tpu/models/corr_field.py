@@ -251,6 +251,19 @@ def _build_field_dft(region, ox, oy, valid, fh, fw):
     return f[:, :fh, :fw] / (s * s)
 
 
+def _shard_bins(builder, ox, oy, axis):
+    """Run a per-bin field ``builder(ox_l, oy_l)`` on this device's slice of
+    the theta bins and all_gather the full stack — the theta-bin-sharded
+    multi-chip build (build cost is embarrassingly parallel over bins;
+    requires nbins %% n_devices == 0, guarded in parallel/distributed.py)."""
+    ndev = jax.lax.psum(1, axis)
+    axd = jax.lax.axis_index(axis)
+    kd = ox.shape[0] // ndev
+    ox_l = jax.lax.dynamic_slice_in_dim(ox, axd * kd, kd, 0)
+    oy_l = jax.lax.dynamic_slice_in_dim(oy, axd * kd, kd, 0)
+    return jax.lax.all_gather(builder(ox_l, oy_l), axis, axis=0, tiled=True)
+
+
 def correlation_field_scores(
     particles: jnp.ndarray,
     ranges: jnp.ndarray,
@@ -351,14 +364,7 @@ def correlation_field_scores(
             return _build_field_conv(region, ox_b, oy_b, valid, ksize, fh, fw)
 
         if shard_bins_axis is not None:
-            ndev = jax.lax.psum(1, shard_bins_axis)
-            axd = jax.lax.axis_index(shard_bins_axis)
-            kd = nbins // ndev
-            ox_l = jax.lax.dynamic_slice_in_dim(ox, axd * kd, kd, 0)
-            oy_l = jax.lax.dynamic_slice_in_dim(oy, axd * kd, kd, 0)
-            field = jax.lax.all_gather(
-                _builder(ox_l, oy_l), shard_bins_axis, axis=0, tiled=True
-            )
+            field = _shard_bins(_builder, ox, oy, shard_bins_axis)
         else:
             field = _builder(ox, oy)
     elif use_window:
@@ -376,26 +382,17 @@ def correlation_field_scores(
     if field_impl in ("dft", "conv"):
         pass  # built above
     elif shard_bins_axis is not None:
-        # theta-bin-sharded build (multi-chip): each device builds K/D bins
-        # (the build cost is embarrassingly parallel over bins) and one
-        # all_gather of the small field replaces D-fold replicated work;
-        # requires nbins % n_devices == 0
-        ndev = jax.lax.psum(1, shard_bins_axis)
-        ax = jax.lax.axis_index(shard_bins_axis)
-        kd = nbins // ndev
-        ox_l = jax.lax.dynamic_slice_in_dim(ox, ax * kd, kd, 0)
-        oy_l = jax.lax.dynamic_slice_in_dim(oy, ax * kd, kd, 0)
         if field_impl == "pallas":
             from mcmh_localization_tpu.ops.corr_field_pallas import (
                 corr_field_pallas,
             )
 
-            field_l = corr_field_pallas(padded, ox_l, oy_l, fh, fw)
+            def _pb(ox_l, oy_l):
+                return corr_field_pallas(padded, ox_l, oy_l, fh, fw)
         else:
-            field_l = _build_field_xla(padded, ox_l, oy_l, fh, fw)
-        field = jax.lax.all_gather(
-            field_l, shard_bins_axis, axis=0, tiled=True
-        )
+            def _pb(ox_l, oy_l):
+                return _build_field_xla(padded, ox_l, oy_l, fh, fw)
+        field = _shard_bins(_pb, ox, oy, shard_bins_axis)
     elif field_impl == "pallas":
         from mcmh_localization_tpu.ops.corr_field_pallas import corr_field_pallas
 

@@ -170,8 +170,8 @@ def _table_bytes(rows: int, precision: str) -> int:
 
 def _use_kernel(n: int, interpret, rows: int = 0,
                 precision: str = "split") -> bool:
-    if interpret is not None:
-        return True
+    if interpret is True:
+        return True  # tests force the (interpret-mode) kernel off-TPU
     if rows and _table_bytes(rows, precision) > _MAX_TABLE_BYTES:
         return False
     return jax.default_backend() == "tpu" and n >= _MIN_N

@@ -126,7 +126,9 @@ def rank_in_sorted(
         )
         return jnp.clip(jax.lax.cummax(seg), 0, r - 1)
 
-    use = interpret is not None or (
+    # interpret=True makes the kernel path eligible off-TPU (interpret
+    # mode, for tests); the fits check below still guards adversarial spans
+    use = (interpret is True) or (
         jax.default_backend() == "tpu" and num_out >= 8 * e
     )
     if not use:
@@ -163,6 +165,4 @@ def rank_in_sorted(
         )
         return out.reshape(-1)[:num_out]
 
-    if interpret is not None:
-        return kernel_path(None)
     return jax.lax.cond(fits, kernel_path, xla_path, operand=None)

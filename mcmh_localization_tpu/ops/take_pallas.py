@@ -107,9 +107,11 @@ def take_rows_monotone(
     """
     n, c = src.shape
     m = idx.shape[0]
-    use = (
-        interpret is not None
-        or (jax.default_backend() == "tpu" and m >= 4 * SUB * 128)
+    # interpret=True makes the kernel path ELIGIBLE off-TPU (interpret
+    # mode, for tests); the per-tile span check below still routes
+    # adversarial inputs to the XLA gather in every mode
+    use = (interpret is True) or (
+        jax.default_backend() == "tpu" and m >= 4 * SUB * 128
     )
     if not use:
         return src[idx]
@@ -142,6 +144,4 @@ def take_rows_monotone(
     def xla_path(_):
         return src[idx]
 
-    if interpret is not None:
-        return kernel_path(None)
     return jax.lax.cond(fits, kernel_path, xla_path, operand=None)

@@ -164,13 +164,23 @@ def _dist_scorer(ranges, angles, grid_map, log_field, config, axis, n_dev,
             correlation_field_scores,
         )
 
-        shard_ok = config.corr_n_theta % n_dev == 0
+        # the sharded build slices the ACTIVE bin set: the theta window's
+        # bins when a theta window is configured, else all corr_n_theta
+        tw = config.corr_theta_window_bins
+        active_bins = tw if (tw and config.corr_window_cells) else config.corr_n_theta
+        shard_ok = active_bins % n_dev == 0 and active_bins >= n_dev
         return functools.partial(
             correlation_field_scores,
             ranges=ranges, angles=angles, grid_map=grid_map, config=config,
             log_field=log_field, n_theta=config.corr_n_theta,
             window_origin=window_origin,
             shard_bins_axis=axis if shard_ok else None,
+        )
+    if config.sensor_model != "likelihood_field":
+        raise ValueError(
+            f"make_dist_model supports sensor_model='likelihood_field' only "
+            f"(got {config.sensor_model!r}); the beam/lidar3d models are "
+            f"single-host for now — use make_model + GSPMD sharding"
         )
     from mcmh_localization_tpu.models.sensor import likelihood_field_scores
 
@@ -307,6 +317,9 @@ def _dist_step(
     p_random = jnp.float32(0.0)
     if config.use_adaptive:
         p_random = jnp.maximum(0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9))
+        p_random = jnp.where(
+            p_random >= config.min_injection_prob, p_random, 0.0
+        )
         n_random_l = (p_random * count_l.astype(jnp.float32)).astype(jnp.int32)
         if config.adaptive_resampler == "kld":
             samples, n_kept = kld_resample(
@@ -351,10 +364,11 @@ def _dist_step(
                     state.particles[idx], randoms,
                 )
             else:
+                k_inj_l, k_coin_l = jax.random.split(k_rand_l)
                 resampled = systematic_resample_particles(
                     k_rs_l, state.particles, state.weights, nl, count=count_l)
-                randoms = init_uniform(k_rand_l, nl, grid_map)
-                coins = jax.random.uniform(k_rand_l, (nl,)) < p_random
+                randoms = init_uniform(k_inj_l, nl, grid_map)
+                coins = jax.random.uniform(k_coin_l, (nl,)) < p_random
                 particles = jnp.where(coins[:, None], randoms, resampled)
             new_weights = jnp.where(
                 mask, 1.0 / jnp.maximum(state.count, 1).astype(jnp.float32), 0.0

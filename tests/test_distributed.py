@@ -139,3 +139,22 @@ def test_dist_step_has_no_big_gather(house_map, mesh):
     # (16 bins x 96^2 cells x 4 B = 590 kB); nothing moves O(N) particles
     for s in sizes:
         assert s < particle_bytes // 2, (s, particle_bytes)
+
+
+def test_dist_theta_window_nondivisible_falls_back(house_map, mesh):
+    """corr_theta_window_bins not divisible by the device count must fall
+    back to an unsharded field build (round-2 review: the old guard checked
+    corr_n_theta divisibility while the sharded build slices the WINDOW
+    bins, so tw=12 on 8 devices gathered 8 of 12 bins and crashed)."""
+    cfg = FilterConfig(
+        mode="AMCL", num_particles=256, min_particles=32, max_particles=256,
+        initialized=True, initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=64, corr_window_cells=96,
+        corr_theta_window_bins=12,   # 12 % 8 != 0
+    )
+    model = make_dist_model(cfg, house_map, mesh)
+    state = model.init(jax.random.PRNGKey(0))
+    ranges, angles = _scan_at(house_map, jnp.array([1.0, -1.0, 0.0]))
+    state, info = model.step(state, ranges, angles,
+                             jnp.array([0.0, 0.05, 0.0]))
+    assert np.isfinite(np.asarray(info.estimate.mean)).all()
