@@ -54,19 +54,23 @@ def run_filter_on_bag(bag: Bag, config: FilterConfig, grid_map, key):
     return est, infos, wall
 
 
-def _get_bag(args, scenario: str, key) -> Bag:
+def _get_bag(args, scenario: str, key, grid_map=None) -> Bag:
     if args.bag:
         if args.bag.endswith(".bag"):  # real ROS1 bag (test_algs.launch:40-44)
             from mcmh_localization_tpu.io.rosbag import read_rosbag
 
             return read_rosbag(args.bag)
         return load_bag(args.bag)
-    grid_map = load_map(args.map)
+    if grid_map is None:
+        grid_map = load_map(args.map)
     gt = SCENARIOS[scenario](duration=args.duration, rate=args.rate)
     gt = fit_trajectory_to_map(grid_map, gt, min_clearance=args.clearance)
     return simulate_bag(
         key, grid_map, gt,
-        n_beams=args.beams, max_range=args.max_range, rate=args.rate,
+        n_beams=args.beams,
+        max_range=(args.max_range if args.max_range is not None
+                   else _base_config(args).max_range),
+        rate=args.rate,
         range_noise=args.range_noise, name=scenario,
     )
 
@@ -76,7 +80,8 @@ def _base_config(args) -> FilterConfig:
         cfg = FilterConfig.from_yaml(args.params)
     else:
         cfg = FilterConfig()
-    cfg = cfg.replace(max_range=args.max_range)
+    if args.max_range is not None:
+        cfg = cfg.replace(max_range=args.max_range)
     if getattr(args, "sensor_model", None):
         cfg = cfg.replace(sensor_model=args.sensor_model)
     return cfg
@@ -94,7 +99,7 @@ def cmd_single(args):
     grid_map = load_map(args.map)
     key = jax.random.PRNGKey(args.seed)
     k_bag, k_run = jax.random.split(key)
-    bag = _get_bag(args, args.scenario, k_bag)
+    bag = _get_bag(args, args.scenario, k_bag, grid_map)
     cfg = _base_config(args).replace(
         mode=args.mode,
         num_particles=args.particles,
@@ -121,7 +126,7 @@ def cmd_all_modes(args):
     grid_map = load_map(args.map)
     scenarios = args.scenarios.split(",")
     for scenario in scenarios:
-        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed))
+        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed), grid_map)
         if args.save_bags:
             save_bag(os.path.join(args.results_dir, f"bag_{scenario}.npz"), bag)
         for mode in MODES:
@@ -146,7 +151,7 @@ def cmd_particle_sweep(args):
     grid_map = load_map(args.map)
     scenarios = args.scenarios.split(",")
     for scenario in scenarios:
-        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed))
+        bag = _get_bag(args, scenario, jax.random.PRNGKey(args.seed), grid_map)
         for p in SWEEP_PARTICLE_COUNTS:
             for mode in SWEEP_MODES:
                 cfg = _base_config(args).replace(
@@ -177,7 +182,10 @@ def build_parser():
         sp.add_argument("--duration", type=float, default=30.0)
         sp.add_argument("--rate", type=float, default=5.0)
         sp.add_argument("--beams", type=int, default=360)
-        sp.add_argument("--max-range", type=float, default=5.0)
+        sp.add_argument(
+            "--max-range", type=float, default=None,
+            help="sensor max range; default: the --params YAML value",
+        )
         sp.add_argument("--range-noise", type=float, default=0.01)
         sp.add_argument("--clearance", type=float, default=0.2,
                         help="min obstacle clearance when placing scenarios")

@@ -368,7 +368,7 @@ def _correct(
     if config.corr_window_cells and (
         beam_field
         or (
-            config.sensor_model != "beam"
+            config.sensor_model == "likelihood_field"
             and _resolved_likelihood_impl(config) == "corr"
         )
     ):
@@ -389,8 +389,11 @@ def _correct(
     # motion_validity="score" on non-corr scorers: the corr field folds the
     # invalid-pose penalty into the field itself (models/corr_field.py); the
     # exact/pallas/beam paths apply it here with one validity lookup
+    # paths that fold the motion-validity penalty into their own field
+    # build (corr / beam score field); every OTHER scorer (exact, pallas,
+    # beam table/dense, lidar3d) gets the explicit valid_mask wrap below
     corr_path = beam_field or (
-        config.sensor_model != "beam"
+        config.sensor_model == "likelihood_field"
         and _resolved_likelihood_impl(config) == "corr"
     )
     if config.motion_validity == "score" and not corr_path:

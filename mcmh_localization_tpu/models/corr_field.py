@@ -97,20 +97,30 @@ def _build_field_conv(region, ox, oy, valid, ksize, fh, fw):
         jnp.broadcast_to(w[None, :], (nbins, m))
     )
     # bf16 MXU conv with an f32-accurate hi+lo region split on the batch
-    # axis (a raw f32 conv runs ~60x slower off the MXU); stamp counts are
-    # small integers — bf16-exact
+    # axis (a raw f32 conv runs ~60x slower off the MXU).  Stamp counts are
+    # integers but bf16 is only integer-exact up to 256 (8 mantissa bits) —
+    # a wall-hugging scan can collapse >256 beams onto one offset cell, so
+    # counts are decomposed into ceil(M/256) saturating planes of <=256
+    # each (exact; conv is linear in the rhs, planes stack on the output-
+    # channel axis and sum back)
     r32 = region.astype(jnp.float32)
     r_hi = r32.astype(jnp.bfloat16)
     r_lo = (r32 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     lhs = jnp.stack([r_hi, r_lo])[:, None]          # (2, 1, H, W)
+    nplanes = max(-(-m // 256), 1)
+    planes = [
+        jnp.clip(stamp - 256.0 * i, 0.0, 256.0) for i in range(nplanes)
+    ]
+    rhs = jnp.concatenate(planes)[:, None].astype(jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
         lhs,
-        stamp[:, None].astype(jnp.bfloat16),
+        rhs,
         (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
     )
-    out = out[0] + out[1]                            # hi + lo planes
+    out = out[0] + out[1]                            # hi + lo region planes
+    out = sum(out[i * nbins:(i + 1) * nbins] for i in range(nplanes))
     return out[:, :fh, :fw]
 
 

@@ -159,15 +159,28 @@ def _dist_scorer(ranges, angles, grid_map, log_field, config, axis, n_dev,
     impl = config.likelihood_impl
     if impl == "auto":
         impl = "corr" if jax.default_backend() == "tpu" else "jnp"
-    if config.sensor_model != "beam" and impl == "corr":
+    if config.sensor_model == "likelihood_field" and impl == "corr":
         from mcmh_localization_tpu.models.corr_field import (
             correlation_field_scores,
         )
 
-        # the sharded build slices the ACTIVE bin set: the theta window's
-        # bins when a theta window is configured, else all corr_n_theta
+        # the sharded build slices the ACTIVE bin set, mirroring the
+        # scorer's own resolution: the theta window's bins only when the
+        # spatial window is actually in effect (a window covering the
+        # whole map is disabled inside correlation_field_scores), else
+        # all corr_n_theta bins
         tw = config.corr_theta_window_bins
-        active_bins = tw if (tw and config.corr_window_cells) else config.corr_n_theta
+        h, w = grid_map.occupancy.shape
+        win_on = (
+            bool(config.corr_window_cells)
+            and config.corr_window_cells < min(h, w)
+            and window_origin is not None
+        )
+        theta_win_on = (
+            bool(tw) and win_on
+            and window_origin is not None and len(window_origin) == 3
+        )
+        active_bins = tw if theta_win_on else config.corr_n_theta
         shard_ok = active_bins % n_dev == 0 and active_bins >= n_dev
         return functools.partial(
             correlation_field_scores,
@@ -216,9 +229,10 @@ def _dist_step(
     mask = jnp.arange(nl) < count_l
 
     # ---- predict (motion proposal), fully local
+    retries = 0 if config.motion_validity == "score" else config.motion_retries
     proposed = sample_motion(
         k_motion_l, state.particles, delta, config.alpha, grid_map,
-        retries=config.motion_retries,
+        retries=retries,
     )
     prev = state.particles
     state = state.replace(
@@ -229,7 +243,7 @@ def _dist_step(
     # ---- correct: global softmax over theta-sharded corr scores
     if (
         config.corr_window_cells
-        and config.sensor_model != "beam"
+        and config.sensor_model == "likelihood_field"
         and config.likelihood_impl in ("auto", "corr")
     ):
         wo = _dist_window_origin(
@@ -240,11 +254,48 @@ def _dist_step(
     score = _dist_scorer(
         ranges, angles, grid_map, log_field, config, axis, n_dev, wo
     )
-    s_post = score(state.particles)
-    weights_post = softmax_weights_dist(s_post, mask, axis)
+    corr_active = (
+        config.sensor_model == "likelihood_field"
+        and (config.likelihood_impl == "corr"
+             or (config.likelihood_impl == "auto"
+                 and jax.default_backend() == "tpu"))
+    )
+    if config.motion_validity == "score" and not corr_active:
+        # the corr scorer folds the invalid-pose penalty into its field;
+        # the exact scorer needs the explicit wrap (filter/step.py parity)
+        from mcmh_localization_tpu.models.sensor import INVALID_SCORE
+
+        rr = ranges[:: config.step] if config.step > 1 else ranges
+        n_valid = jnp.sum(jnp.isfinite(rr) & (rr < config.max_range))
+        pen = (
+            INVALID_SCORE * jnp.maximum(n_valid, 1).astype(jnp.float32)
+            if config.score_aggregation == "sum"
+            else jnp.float32(INVALID_SCORE)
+        )
+        base_score = score
+
+        def score(p, _s=base_score, _pen=pen):
+            return jnp.where(grid_map.valid_mask(p), _s(p), _pen)
+
+    # collapse INACTIVE padded slots onto an active pose before scoring —
+    # stale padded poses spread across the map would widen the gather
+    # kernel's chunk window and force the coarse branch every step
+    # (filter/step.py parity)
+    anchor = state.particles[0]
+    p_sc = jnp.where(mask[:, None], state.particles, anchor)
+    if config.use_mh:
+        # ONE scorer invocation for both sets: shared field build + one
+        # kernel pass (filter/step.py parity)
+        prev_sc = jnp.where(mask[:, None], prev, anchor)
+        s_both = score(jnp.concatenate([p_sc, prev_sc]))
+        s_post = s_both[:nl]
+        weights_post = softmax_weights_dist(s_post, mask, axis)
+        weights_pre = softmax_weights_dist(s_both[nl:], mask, axis)
+    else:
+        s_post = score(p_sc)
+        weights_post = softmax_weights_dist(s_post, mask, axis)
 
     if config.use_mh:
-        weights_pre = softmax_weights_dist(score(prev), mask, axis)
         if config.asymmetric:
             # raw densities + global psum normalization (the single-chip
             # path normalizes over all N, filter/step.py:_transition_probabilities)

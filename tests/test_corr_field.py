@@ -498,3 +498,31 @@ def test_coarse_cond_branch_equivalence(house_map):
         window_origin=wo)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b)[:n],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_conv_builder_exact_over_256_beam_pileup():
+    """>256 beams collapsing onto one offset cell must stay exact in the
+    bf16 conv builder (counts are decomposed into <=256 planes)."""
+    import jax.numpy as jnp
+    from mcmh_localization_tpu.models.corr_field import (
+        _build_field_conv, _build_field_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    m = 257  # odd count > 256: NOT bf16-representable (old code rounded)
+    ksize = 9
+    fh = fw = 16
+    region = jnp.asarray(
+        rng.normal(size=(fh + ksize - 1, fw + ksize - 1)).astype(np.float32)
+    )
+    # all beams on ONE offset -> stamp count 257 (not bf16-exact raw)
+    ox = jnp.full((2, m), 4, jnp.int32)
+    oy = jnp.full((2, m), 4, jnp.int32)
+    valid = jnp.ones((m,), bool)
+    got = np.asarray(_build_field_conv(region, ox, oy, valid, ksize, fh, fw))
+    # golden: 257 * region window; tolerance = the hi/lo REGION split's
+    # ~1.5e-5 relative (16 mantissa bits), far below the ~4e-3 a rounded
+    # bf16 count would cause
+    want = 257.0 * np.asarray(region)[4:4 + fh, 4:4 + fw]
+    np.testing.assert_allclose(got[0], want, rtol=3e-5)
+    np.testing.assert_allclose(got[1], want, rtol=3e-5)
