@@ -166,3 +166,143 @@ def rank_in_sorted(
         return out.reshape(-1)[:num_out]
 
     return jax.lax.cond(fits, kernel_path, xla_path, operand=None)
+
+
+# ---------------------------------------------------------------------------
+# Fused expansion: rank + particle take in ONE kernel pass
+# ---------------------------------------------------------------------------
+
+ESUB = 32   # fused tile sublanes (smaller: rank + take buffers coexist)
+
+
+def _expand_kernel(starts_ref, bound_hbm, cols_hbm, out_ref,
+                   winb, winc, semb, semc, *, rtot, c):
+    e = ESUB * 128
+    t = pl.program_id(0)
+    wstart = starts_ref[t]
+    cpb = pltpu.make_async_copy(
+        bound_hbm.at[pl.ds(wstart, WROWS), :], winb, semb
+    )
+    cpb.start()
+    cpc = pltpu.make_async_copy(
+        cols_hbm.at[:, pl.ds(wstart, WROWS), :], winc, semc
+    )
+    cpc.start()
+    cpb.wait()
+
+    vals = winb[:]
+    m = (
+        t * e
+        + jax.lax.broadcasted_iota(jnp.int32, (ESUB, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (ESUB, 128), 1)
+    ).reshape(1, e)
+    chunk_max = jnp.max(vals, axis=1, keepdims=True)
+    nfull = jnp.sum(
+        (chunk_max <= m).astype(jnp.int32), axis=0, keepdims=True
+    )
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (WROWS, e), 0) == nfull
+    ).astype(jnp.float32)
+    d = jax.lax.dot_general(
+        vals.astype(jnp.float32), oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    partial = jnp.sum(
+        (d <= m.astype(jnp.float32)).astype(jnp.int32) * (oh.sum(0) > 0),
+        axis=0, keepdims=True,
+    )
+    idx = jnp.clip(wstart * 128 + nfull * 128 + partial, 0, rtot - 1)
+
+    # take: window-local offsets (wstart clamped so idx >= wstart*128)
+    rl = idx - wstart * 128
+    rr = rl // 128
+    ll = rl % 128
+    oh2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (WROWS, e), 0) == rr
+    ).astype(jnp.float32)
+    lane_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, e), 0) == ll
+    ).astype(jnp.float32)
+    cpc.wait()
+    for ci in range(c):
+        dc = jax.lax.dot_general(
+            winc[ci], oh2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[ci] = jnp.sum(dc * lane_mask, axis=0).reshape(ESUB, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("m_out", "rtot", "interpret"))
+def _expand_kernel_call(bound2, cols3, starts, m_out, rtot, interpret=False):
+    c = cols3.shape[0]
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, rtot=rtot, c=c),
+        grid=(m_out // (ESUB * 128),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((c, ESUB, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, m_out // 128, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, 128), jnp.int32),
+            pltpu.VMEM((c, WROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(starts, bound2, cols3)
+
+
+def expand_sorted(
+    bound: jnp.ndarray,       # (R,) int32 NONDECREASING in [0, num_out]
+    particles: jnp.ndarray,   # (R, C) float32
+    num_out: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``particles[rank_in_sorted(bound, num_out)]`` in ONE fused kernel:
+    per output tile, the bound window AND the particle-column windows share
+    the same DMA base, the rank resolves in-VMEM, and the take's one-hot
+    dot consumes it directly — no intermediate index array, no second
+    kernel invocation (bitwise-equal to the two-step path;
+    tests/test_resampling.py)."""
+    r, c = particles.shape
+    e = ESUB * 128
+
+    def xla_path(_):
+        return particles[rank_in_sorted(bound, num_out)]
+
+    use = (interpret is True) or (
+        jax.default_backend() == "tpu" and num_out >= 16 * e
+    )
+    if not use:
+        return xla_path(None)
+
+    m_pad = -(-num_out // e) * e
+    rrows = max(-(-r // 128), WROWS)
+    bound2 = jnp.pad(bound.astype(jnp.int32), (0, rrows * 128 - r),
+                     constant_values=num_out + 1).reshape(-1, 128)
+    cols3 = jnp.stack([
+        jnp.pad(particles[:, ci], (0, rrows * 128 - r)).reshape(-1, 128)
+        for ci in range(c)
+    ])
+
+    tstarts = jnp.arange(0, m_pad, e, dtype=jnp.int32)
+    cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
+    # clamp so idx (<= r-1) can never precede the window: wstart*128 <= r-1
+    wstart = jnp.clip(cnt // 128, 0, max(0, min(rrows - WROWS, (r - 1) // 128)))
+    cnt_next = jnp.concatenate([cnt[1:], jnp.asarray([r], jnp.int32)])
+    fits = jnp.all(cnt_next - wstart * 128 <= WROWS * 128)
+
+    def kernel_path(_):
+        out = _expand_kernel_call(
+            bound2, cols3, wstart, m_pad, r,
+            interpret=bool(interpret) if interpret is not None else False,
+        )
+        return out.reshape(c, -1)[:, :num_out].T
+
+    return jax.lax.cond(fits, kernel_path, xla_path, operand=None)

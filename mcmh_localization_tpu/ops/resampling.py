@@ -140,23 +140,27 @@ def systematic_resample_particles(
     """(num_out, 3) resampled particles — same draw as
     ``particles[systematic_resample_indices(...)]``.
 
-    impl="mxu" (TPU default): scatter+cummax the segment INDICES, then the
-    monotone-windowed one-hot MXU take (ops/take_pallas.py) — bitwise equal
-    to the XLA gather, without its serial ~4 ns/element loop.
-    impl="gather" (default elsewhere): same indices, plain XLA row gather
+    impl="fused" (TPU default): rank + particle take in ONE windowed-merge
+    kernel sharing a single DMA base per tile
+    (ops/rank_pallas.py::expand_sorted; bitwise-equal to the two-step
+    paths).  impl="mxu": sorted-rank indices, then the separate
+    monotone-windowed one-hot MXU take (ops/take_pallas.py).
+    impl="gather" (default off-TPU): same indices, plain XLA row gather
     (~12 ms for (1M, 3) on v5e).  impl="scan": scatter the particle VALUES
     at their segment starts and forward-fill with an associative scan — no
     index gather, but the scan's log2(N) full passes over (N, 3) + flags
     measure 59.5 ms at 1M on v5e vs 14.9 ms for the gather path
     (scripts/microbench10.py), so it stays opt-in.  All draws are identical
     by construction (tests/test_resampling.py).
-
-    (A fused Pallas "segment expansion" kernel was also prototyped: its
-    one-hot build volume is inherently O(N x TILE) VPU work — slower than
-    either XLA path.)
     """
     if impl == "auto":
-        impl = "mxu" if jax.default_backend() == "tpu" else "gather"
+        impl = "fused" if jax.default_backend() == "tpu" else "gather"
+    if impl == "fused":
+        # ONE kernel: rank + take share the window DMA (rank_pallas.py)
+        from mcmh_localization_tpu.ops.rank_pallas import expand_sorted
+
+        bound = _segment_bounds(key, weights, num_out, count)
+        return expand_sorted(bound, particles, num_out)
     if impl in ("gather", "mxu"):
         idx = systematic_resample_indices(key, weights, num_out, count=count)
         if impl == "mxu":

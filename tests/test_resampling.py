@@ -300,3 +300,26 @@ def test_rank_kernel_count_prefix():
     a = rank_in_sorted(bound, n)
     b = rank_in_sorted(bound, n, interpret=True)
     np.testing.assert_array_equal(np.asarray(a)[:c], np.asarray(b)[:c])
+
+def test_fused_expand_matches_two_step():
+    """expand_sorted (fused rank+take kernel, interpret) is bitwise equal
+    to particles[rank_in_sorted(bound)] across weight patterns."""
+    from mcmh_localization_tpu.ops.rank_pallas import (
+        expand_sorted, rank_in_sorted,
+    )
+    from mcmh_localization_tpu.ops.resampling import _segment_bounds
+
+    rng = np.random.default_rng(41)
+    key = jax.random.PRNGKey(13)
+    n = 20_000  # non-divisible by the tile size
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    for name, w in {
+        "exp": rng.exponential(size=n),
+        "spiky": np.where(rng.random(n) < 0.002, 500.0, 1e-6),
+        "leading-zeros": np.concatenate([np.zeros(n // 2), np.ones(n // 2)]),
+    }.items():
+        w = jnp.asarray((w / w.sum()).astype(np.float32))
+        bound = _segment_bounds(key, w, n, None)
+        want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, n))]
+        got = expand_sorted(bound, particles, n, interpret=True)
+        np.testing.assert_array_equal(want, np.asarray(got), err_msg=name)
