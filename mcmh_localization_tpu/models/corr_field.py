@@ -166,9 +166,10 @@ def _coarse_field_indices(
     zero_band_row = padded.shape[0]
     ox, oy = _bin_offsets(u, v, valid, 1.0 / res_c, kc, pad_c, zero_band_row)
     if jax.default_backend() == "tpu":
-        # MXU cross-correlation build (see _build_field_conv)
-        field = _build_field_conv(padded, ox, oy, valid, 2 * pad_c + 1,
-                                  hc, wc)
+        # stamp-DFT build (see _build_field_dft): the conv formulation pays
+        # O(ksize^2) MXU work per output cell (~2.7 ms for 36 x 96^2 with
+        # ksize 55 on v5e); the DFT pays O(S) per cell at S=256 (~0.3 ms)
+        field = _build_field_dft(padded, ox, oy, valid, hc, wc)
     else:
         padded = jnp.pad(padded, ((0, hc), (0, 0)))
         field = _build_field_xla(padded, ox, oy, hc, wc)
@@ -478,35 +479,22 @@ def correlation_field_scores(
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback lookup for the
-        # rest — ONE fused gather pass over both fields stacked.  The whole
-        # coarse machinery (fallback-field build + merged gather) only runs
-        # on steps where some in-map particle actually escaped the window
-        # (kidnap recovery, injection); in steady tracking the lax.cond
-        # takes the fine-only branch, skipping ~2 ms of fixed build and
-        # ~0.7 ns/particle of merged-gather overhead (v5e)
-        def _with_coarse(_):
-            cfield, ck, cy, cx = _coarse_field_indices(
-                particles, u, v, valid, log_field, grid_map, config, res
-            )
-            kc, hc, wc = cfield.shape
-            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
-            t = gather_2d_select(
-                field_t, rows_fine_y, mxc,
-                cfield_t, cy * kc + ck, cx,
-                use_a=covered, precision=prec,
-            )
-            return jnp.where(in_map, t, 0.0)
-
-        def _fine_only(_):
-            # no escapees exist on this branch, so covered == in-window
-            # in-map and the coarse contribution is vacuous
-            t = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
-            return jnp.where(in_map & covered, t, 0.0)
-
-        need_coarse = jnp.any(in_map & ~covered)
-        totals = jax.lax.cond(
-            need_coarse, _with_coarse, _fine_only, operand=None
+        # rest — ONE fused gather pass over both fields stacked.  (Gating
+        # this behind lax.cond on "any escapee exists" was tried and is
+        # NET-NEGATIVE: the cond operands — field, rows, coarse inputs —
+        # must materialize at the branch boundary and XLA loses fusion,
+        # costing ~4 ms at 2M vs ~1 ms of coarse work saved, v5e.)
+        cfield, ck, cy, cx = _coarse_field_indices(
+            particles, u, v, valid, log_field, grid_map, config, res
         )
+        kc, hc, wc = cfield.shape
+        cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+        totals = gather_2d_select(
+            field_t, rows_fine_y, mxc,
+            cfield_t, cy * kc + ck, cx,
+            use_a=covered, precision=prec,
+        )
+        totals = jnp.where(in_map, totals, 0.0)
     else:
         totals = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
         totals = jnp.where(in_map & covered, totals, 0.0)
