@@ -27,7 +27,7 @@ import numpy as np
 N_BEAMS = 360
 WARMUP = 2
 ITERS = 6
-SCAN_LEN = 8   # steps per dispatch
+SCAN_LEN = 16  # steps per dispatch (amortizes the ~3.5 ms tunnel enqueue)
 
 
 def _target_ms(n_particles: int) -> float:

@@ -33,10 +33,14 @@ class OnlineLocalizer:
         grid_map,
         seed: int = 0,
         initial_pose=None,
+        voxel_map=None,
     ):
+        """``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is
+        then the 2-D navigation slice; on_scan's ``angles`` becomes the
+        (M, 2) [azimuth, elevation] direction array)."""
         self.config = config
         self.grid_map = grid_map
-        self.model = make_model(config, grid_map)
+        self.model = make_model(config, grid_map, voxel_map=voxel_map)
         self.state = self.model.init(
             jax.random.PRNGKey(seed), initial_pose=initial_pose
         )
