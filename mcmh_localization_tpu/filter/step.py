@@ -386,9 +386,6 @@ def _correct(
     anchor = state.particles[0]
     p_sc = jnp.where(mask[:, None], state.particles, anchor)
 
-    # motion_validity="score" on non-corr scorers: the corr field folds the
-    # invalid-pose penalty into the field itself (models/corr_field.py); the
-    # exact/pallas/beam paths apply it here with one validity lookup
     # paths that fold the motion-validity penalty into their own field
     # build (corr / beam score field); every OTHER scorer (exact, pallas,
     # beam table/dense, lidar3d) gets the explicit valid_mask wrap below
@@ -397,19 +394,11 @@ def _correct(
         and _resolved_likelihood_impl(config) == "corr"
     )
     if config.motion_validity == "score" and not corr_path:
-        from mcmh_localization_tpu.models.sensor import INVALID_SCORE
-
-        rr = ranges[:: config.step] if config.step > 1 else ranges
-        n_valid = jnp.sum(jnp.isfinite(rr) & (rr < config.max_range))
-        pen = (
-            INVALID_SCORE * jnp.maximum(n_valid, 1).astype(jnp.float32)
-            if config.score_aggregation == "sum"
-            else jnp.float32(INVALID_SCORE)
+        from mcmh_localization_tpu.models.sensor import (
+            wrap_score_with_validity,
         )
-        base_score = score
 
-        def score(p, _s=base_score, _pen=pen):
-            return jnp.where(grid_map.valid_mask(p), _s(p), _pen)
+        score = wrap_score_with_validity(score, grid_map, config, ranges)
 
     if config.use_mh:
         # ONE scorer invocation for both sets: the field build is shared and

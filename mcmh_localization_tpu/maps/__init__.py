@@ -3,8 +3,10 @@ from mcmh_localization_tpu.maps.edt import distance_transform_edt_device
 from mcmh_localization_tpu.maps.voxel_map import (
     VoxelMap,
     build_voxel_map,
+    load_voxel_map,
     nav_slice,
     raycast3d,
+    save_voxel_map,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "build_voxel_map",
     "nav_slice",
     "raycast3d",
+    "save_voxel_map",
+    "load_voxel_map",
 ]

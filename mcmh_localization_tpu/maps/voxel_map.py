@@ -29,6 +29,9 @@ class VoxelMap:
     resolution: float = struct.field(pytree_node=False)
     # world coords of voxel (0, 0, 0)'s min corner: (x, y, z)
     origin: Tuple[float, float, float] = struct.field(pytree_node=False)
+    # EDT cap applied at build time (None = uncapped); recorded so
+    # save/load round-trips reproduce the same distance volume
+    max_distance: float | None = struct.field(pytree_node=False, default=None)
 
     @property
     def depth(self) -> int:
@@ -92,6 +95,7 @@ def build_voxel_map(
         distance=jnp.asarray(dist.astype(np.float32)),
         resolution=float(resolution),
         origin=(float(origin[0]), float(origin[1]), float(origin[2])),
+        max_distance=None if max_distance is None else float(max_distance),
     )
 
 
@@ -155,3 +159,28 @@ def nav_slice(voxel_map: VoxelMap, z: float = 0.0, edt_impl: str = "scipy"):
         (voxel_map.origin[0], voxel_map.origin[1]),
         edt_impl=edt_impl,
     )
+
+
+def save_voxel_map(path: str, voxel_map: VoxelMap) -> None:
+    """NPZ persistence (occupancy + metadata; the EDT rebuilds on load —
+    it is derived data, and storing it would triple the file)."""
+    np.savez_compressed(
+        path,
+        occupancy=np.asarray(voxel_map.occupancy),
+        resolution=np.float64(voxel_map.resolution),
+        origin=np.asarray(voxel_map.origin, dtype=np.float64),
+        max_distance=np.float64(
+            np.nan if voxel_map.max_distance is None
+            else voxel_map.max_distance
+        ),
+    )
+
+
+def load_voxel_map(path: str) -> VoxelMap:
+    with np.load(path) as z:
+        md = float(z["max_distance"]) if "max_distance" in z else np.nan
+        return build_voxel_map(
+            z["occupancy"], float(z["resolution"]),
+            tuple(z["origin"]),
+            max_distance=None if np.isnan(md) else md,
+        )

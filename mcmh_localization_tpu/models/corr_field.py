@@ -479,22 +479,39 @@ def correlation_field_scores(
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback lookup for the
-        # rest — ONE fused gather pass over both fields stacked.  (Gating
-        # this behind lax.cond on "any escapee exists" was tried and is
-        # NET-NEGATIVE: the cond operands — field, rows, coarse inputs —
-        # must materialize at the branch boundary and XLA loses fusion,
-        # costing ~4 ms at 2M vs ~1 ms of coarse work saved, v5e.)
-        cfield, ck, cy, cx = _coarse_field_indices(
-            particles, u, v, valid, log_field, grid_map, config, res
-        )
-        kc, hc, wc = cfield.shape
-        cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
-        totals = gather_2d_select(
-            field_t, rows_fine_y, mxc,
-            cfield_t, cy * kc + ck, cx,
-            use_a=covered, precision=prec,
-        )
-        totals = jnp.where(in_map, totals, 0.0)
+        # rest — ONE fused gather pass over both fields stacked.  On TPU
+        # this runs UNCONDITIONALLY: gating it behind lax.cond on "any
+        # escapee exists" was tried and is net-negative there (the cond
+        # operands — field, rows, coarse inputs — materialize at the
+        # branch boundary and XLA loses fusion: ~4 ms at 2M vs ~1 ms of
+        # coarse work saved, v5e).  Off-TPU the fusion argument does not
+        # apply and the coarse build is a slow lax.map of dynamic slices,
+        # so the runtime gate stays.
+        def _with_coarse(_):
+            cfield, ck, cy, cx = _coarse_field_indices(
+                particles, u, v, valid, log_field, grid_map, config, res
+            )
+            kc, hc, wc = cfield.shape
+            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+            t = gather_2d_select(
+                field_t, rows_fine_y, mxc,
+                cfield_t, cy * kc + ck, cx,
+                use_a=covered, precision=prec,
+            )
+            return jnp.where(in_map, t, 0.0)
+
+        if jax.default_backend() == "tpu":
+            totals = _with_coarse(None)
+        else:
+            def _fine_only(_):
+                # no escapees on this branch: covered == scoreable
+                t = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
+                return jnp.where(in_map & covered, t, 0.0)
+
+            totals = jax.lax.cond(
+                jnp.any(in_map & ~covered), _with_coarse, _fine_only,
+                operand=None,
+            )
     else:
         totals = gather_2d(field_t, rows_fine_y, mxc, precision=prec)
         totals = jnp.where(in_map & covered, totals, 0.0)

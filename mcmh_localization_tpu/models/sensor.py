@@ -225,3 +225,23 @@ def raycast_beam_scores(
     else:
         score = totals / jnp.maximum(count, 1)
     return jnp.where(count > 0, score, BLIND_SCORE).astype(jnp.float32)
+
+
+def wrap_score_with_validity(score, grid_map, config, ranges):
+    """Wrap a scorer so poses on non-free cells take INVALID_SCORE — the
+    motion_validity="score" penalty for scorers that do not fold it into
+    their own field build (exact/pallas/beam-table/dense/lidar3d).  Shared
+    by filter/step.py and parallel/distributed.py so the semantics cannot
+    drift between the single-chip and distributed paths."""
+    rr = ranges[:: config.step] if config.step > 1 else ranges
+    n_valid = jnp.sum(jnp.isfinite(rr) & (rr < config.max_range))
+    pen = (
+        INVALID_SCORE * jnp.maximum(n_valid, 1).astype(jnp.float32)
+        if config.score_aggregation == "sum"
+        else jnp.float32(INVALID_SCORE)
+    )
+
+    def wrapped(p):
+        return jnp.where(grid_map.valid_mask(p), score(p), pen)
+
+    return wrapped

@@ -39,24 +39,13 @@ WROWS = 128          # window chunks (sublanes); window = WROWS*128 entries
 SUB = 64             # output tile sublanes -> E = SUB*128 outputs
 
 
-def _kernel(starts_ref, bound_hbm, out_ref, win, sem, *, rtot):
-    e = SUB * 128
-    t = pl.program_id(0)
-    wstart = starts_ref[t]                  # first window entry row
-    cp = pltpu.make_async_copy(
-        bound_hbm.at[pl.ds(wstart, WROWS), :], win, sem
-    )
-    cp.start()
-    cp.wait()
-    vals = win[:]                            # (WROWS, 128) sorted flat
-    # m values of this tile: tE..tE+e-1 laid out (SUB, 128)
-    m = (
-        t * e
-        + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0) * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
-    ).reshape(1, e)
+def _rank_tile(vals, m, wstart, rtot):
+    """(1, e) int32 clipped rank of the consecutive integers ``m`` (1, e)
+    against the sorted VMEM window ``vals`` (WROWS, 128): full chunks by
+    chunk-max compare, the single straddling chunk by one-hot MXU row
+    fetch + 128 compares.  Shared by the rank-only and fused kernels."""
+    e = m.shape[1]
     chunk_max = jnp.max(vals, axis=1, keepdims=True)      # (WROWS, 1)
-    # full chunks: every value <= m
     nfull = jnp.sum(
         (chunk_max <= m).astype(jnp.int32), axis=0, keepdims=True
     )  # (1, e) in [0, WROWS]
@@ -75,8 +64,31 @@ def _kernel(starts_ref, bound_hbm, out_ref, win, sem, *, rtot):
         (d <= m.astype(jnp.float32)).astype(jnp.int32) * (oh.sum(0) > 0),
         axis=0, keepdims=True,
     )
-    count = (wstart * 128 + nfull * 128 + partial).reshape(SUB, 128)
-    out_ref[:] = jnp.clip(count, 0, rtot - 1)
+    return jnp.clip(wstart * 128 + nfull * 128 + partial, 0, rtot - 1)
+
+
+def _tile_m(t, e):
+    """The tile's consecutive output integers tE..tE+e-1 as (1, e)."""
+    sub = e // 128
+    return (
+        t * e
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    ).reshape(1, e)
+
+
+def _kernel(starts_ref, bound_hbm, out_ref, win, sem, *, rtot):
+    e = SUB * 128
+    t = pl.program_id(0)
+    wstart = starts_ref[t]                  # first window entry row
+    cp = pltpu.make_async_copy(
+        bound_hbm.at[pl.ds(wstart, WROWS), :], win, sem
+    )
+    cp.start()
+    cp.wait()
+    out_ref[:] = _rank_tile(win[:], _tile_m(t, e), wstart, rtot).reshape(
+        SUB, 128
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "rtot", "interpret"))
@@ -190,29 +202,7 @@ def _expand_kernel(starts_ref, bound_hbm, cols_hbm, out_ref,
     cpc.start()
     cpb.wait()
 
-    vals = winb[:]
-    m = (
-        t * e
-        + jax.lax.broadcasted_iota(jnp.int32, (ESUB, 128), 0) * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (ESUB, 128), 1)
-    ).reshape(1, e)
-    chunk_max = jnp.max(vals, axis=1, keepdims=True)
-    nfull = jnp.sum(
-        (chunk_max <= m).astype(jnp.int32), axis=0, keepdims=True
-    )
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (WROWS, e), 0) == nfull
-    ).astype(jnp.float32)
-    d = jax.lax.dot_general(
-        vals.astype(jnp.float32), oh, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    partial = jnp.sum(
-        (d <= m.astype(jnp.float32)).astype(jnp.int32) * (oh.sum(0) > 0),
-        axis=0, keepdims=True,
-    )
-    idx = jnp.clip(wstart * 128 + nfull * 128 + partial, 0, rtot - 1)
+    idx = _rank_tile(winb[:], _tile_m(t, e), wstart, rtot)
 
     # take: window-local offsets (wstart clamped so idx >= wstart*128)
     rl = idx - wstart * 128
@@ -296,7 +286,13 @@ def expand_sorted(
     # clamp so idx (<= r-1) can never precede the window: wstart*128 <= r-1
     wstart = jnp.clip(cnt // 128, 0, max(0, min(rrows - WROWS, (r - 1) // 128)))
     cnt_next = jnp.concatenate([cnt[1:], jnp.asarray([r], jnp.int32)])
-    fits = jnp.all(cnt_next - wstart * 128 <= WROWS * 128)
+    # STRICT: the take stage's window-local offset rl = idx - wstart*128
+    # must stay < WROWS*128; the rank value itself may EQUAL the window
+    # size when a tile's inputs end exactly at the boundary (the rank-only
+    # kernel tolerates that; the fused take would read row WROWS -> zero
+    # one-hot mass -> silent (0,0,0) particles; regression test in
+    # tests/test_resampling.py)
+    fits = jnp.all(cnt_next - wstart * 128 < WROWS * 128)
 
     def kernel_path(_):
         out = _expand_kernel_call(

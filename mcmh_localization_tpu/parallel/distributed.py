@@ -262,20 +262,13 @@ def _dist_step(
     )
     if config.motion_validity == "score" and not corr_active:
         # the corr scorer folds the invalid-pose penalty into its field;
-        # the exact scorer needs the explicit wrap (filter/step.py parity)
-        from mcmh_localization_tpu.models.sensor import INVALID_SCORE
-
-        rr = ranges[:: config.step] if config.step > 1 else ranges
-        n_valid = jnp.sum(jnp.isfinite(rr) & (rr < config.max_range))
-        pen = (
-            INVALID_SCORE * jnp.maximum(n_valid, 1).astype(jnp.float32)
-            if config.score_aggregation == "sum"
-            else jnp.float32(INVALID_SCORE)
+        # the exact scorer needs the explicit wrap (shared with
+        # filter/step.py so the semantics cannot drift)
+        from mcmh_localization_tpu.models.sensor import (
+            wrap_score_with_validity,
         )
-        base_score = score
 
-        def score(p, _s=base_score, _pen=pen):
-            return jnp.where(grid_map.valid_mask(p), _s(p), _pen)
+        score = wrap_score_with_validity(score, grid_map, config, ranges)
 
     # collapse INACTIVE padded slots onto an active pose before scoring —
     # stale padded poses spread across the map would widen the gather
@@ -467,6 +460,12 @@ def make_dist_model(
     Particle counts are rounded up so num/max particles divide evenly by the
     mesh size (the count invariant keeps every island the same size).
     """
+    if config.sensor_model != "likelihood_field":
+        raise ValueError(
+            f"make_dist_model supports sensor_model='likelihood_field' only "
+            f"(got {config.sensor_model!r}); the beam/lidar3d models are "
+            f"single-host for now — use make_model + GSPMD sharding"
+        )
     n_dev = int(mesh.devices.size)
 
     def _round(x):

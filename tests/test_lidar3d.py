@@ -165,3 +165,19 @@ def test_lidar3d_filter_tracks(room3d):
     est = np.asarray(infos.estimate.mean)
     err = np.hypot(est[-1, 0] - poses[-1, 0], est[-1, 1] - poses[-1, 1])
     assert err < 0.3, err
+
+
+def test_voxel_map_roundtrip(room3d, tmp_path):
+    from mcmh_localization_tpu.maps.voxel_map import (
+        load_voxel_map, save_voxel_map,
+    )
+
+    p = str(tmp_path / "room.npz")
+    save_voxel_map(p, room3d)
+    back = load_voxel_map(p)
+    np.testing.assert_array_equal(
+        np.asarray(back.occupancy), np.asarray(room3d.occupancy))
+    np.testing.assert_allclose(
+        np.asarray(back.distance), np.asarray(room3d.distance))
+    assert back.resolution == room3d.resolution
+    assert back.origin == room3d.origin

@@ -323,3 +323,26 @@ def test_fused_expand_matches_two_step():
         want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, n))]
         got = expand_sorted(bound, particles, n, interpret=True)
         np.testing.assert_array_equal(want, np.asarray(got), err_msg=name)
+
+def test_fused_expand_window_boundary_exact():
+    """A tile whose input span exactly equals the kernel window must route
+    to the XLA fallback, not silently produce (0,0,0) particles (review
+    repro: <= vs < in the fits guard)."""
+    from mcmh_localization_tpu.ops.rank_pallas import (
+        expand_sorted, rank_in_sorted,
+    )
+
+    n = 32768
+    # bound: 100 zeros, then 16284 fives, then 8192s -> one tile's inputs
+    # end exactly at the window boundary
+    bound = jnp.asarray(np.concatenate([
+        np.zeros(100, np.int32),
+        np.full(16284, 5, np.int32),
+        np.full(n - 100 - 16284, 8192, np.int32),
+    ]))
+    rng = np.random.default_rng(5)
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) + 1.0)
+    num_out = 8192
+    want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, num_out))]
+    got = np.asarray(expand_sorted(bound, particles, num_out, interpret=True))
+    np.testing.assert_array_equal(want, got)
