@@ -44,19 +44,22 @@ def estimate_pose(
     mean_theta = jnp.arctan2(sin_m, cos_m)
     mean = jnp.concatenate([mean_xy, mean_theta[None]])
 
-    res = jnp.stack(
+    # residuals kept (3, N): the particle axis lands on lanes, so the
+    # elementwise ops and the (3, N) @ (N, 3) MXU contraction run at full
+    # width instead of through the (N, 3) minor-dim-3 padded layout
+    res3 = jnp.stack(
         [
             particles[:, 0] - mean_xy[0],
             particles[:, 1] - mean_xy[1],
             normalize_angle_about(particles[:, 2], mean_theta),
         ],
-        axis=1,
+        axis=0,
     )
     if mask is not None:
-        res = jnp.where(mask[:, None], res, 0.0)
+        res3 = jnp.where(mask[None, :], res3, 0.0)
     v2 = jnp.sum(wn * wn)
     denom = jnp.maximum(1.0 - v2, 1e-12)  # (V1 - V2/V1)/V1 with wn normalized
-    cov = (res * wn[:, None]).T @ res / denom
+    cov = (res3 * wn[None, :]) @ res3.T / denom
     return PoseEstimate(mean=mean, cov=cov)
 
 

@@ -19,12 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
+# Free-cell draws above this count come from a tiled iid pool instead of
+# one gather per particle: XLA's random row gather serializes (~5.7 ms for
+# 1M rows on v5e — the augmented-MCL injection branch's whole cost).  At
+# such counts the draw must revisit cells anyway (maps have far fewer free
+# cells than 64k), so tiling an iid pool with per-slot jitter/theta is
+# distribution-equivalent up to cell multiplicities; only slot<->cell
+# pairing is pool-periodic, and slot order carries no meaning downstream.
+_POOL = 65536
+
+
 def init_uniform(key: jax.Array, n: int, grid_map) -> jnp.ndarray:
     """(n, 3) poses uniform over free space, theta ~ U(-pi, pi)."""
     k_cell, k_off, k_theta = jax.random.split(key, 3)
     f = grid_map.free_xy.shape[0]
-    cells = jax.random.randint(k_cell, (n,), 0, f)
-    xy = grid_map.free_xy[cells]
+    pool = min(n, _POOL)
+    cells = jax.random.randint(k_cell, (pool,), 0, f)
+    xy_pool = grid_map.free_xy[cells]  # (pool, 2)
+    if pool < n:
+        reps = -(-n // pool)
+        xy = jnp.tile(xy_pool, (reps, 1))[:n]
+    else:
+        xy = xy_pool
     jitter = jax.random.uniform(
         k_off, (n, 2), minval=-0.5, maxval=0.5
     ) * grid_map.resolution
