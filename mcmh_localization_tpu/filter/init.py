@@ -36,16 +36,17 @@ def init_uniform(key: jax.Array, n: int, grid_map) -> jnp.ndarray:
     pool = min(n, _POOL)
     cells = jax.random.randint(k_cell, (pool,), 0, f)
     xy_pool = grid_map.free_xy[cells]  # (pool, 2)
+    jitter = jax.random.uniform(
+        k_off, (pool, 2), minval=-0.5, maxval=0.5
+    ) * grid_map.resolution
+    theta = jax.random.uniform(k_theta, (pool,), minval=-jnp.pi, maxval=jnp.pi)
+    poses = jnp.concatenate(
+        [xy_pool + jitter, theta[:, None]], axis=1
+    ).astype(jnp.float32)
     if pool < n:
         reps = -(-n // pool)
-        xy = jnp.tile(xy_pool, (reps, 1))[:n]
-    else:
-        xy = xy_pool
-    jitter = jax.random.uniform(
-        k_off, (n, 2), minval=-0.5, maxval=0.5
-    ) * grid_map.resolution
-    theta = jax.random.uniform(k_theta, (n,), minval=-jnp.pi, maxval=jnp.pi)
-    return jnp.concatenate([xy + jitter, theta[:, None]], axis=1).astype(jnp.float32)
+        poses = jnp.tile(poses, (reps, 1))[:n]
+    return poses
 
 
 def init_gaussian(

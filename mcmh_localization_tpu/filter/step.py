@@ -328,8 +328,15 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     def _inject(samples):
         randoms = init_uniform(k_rand, state.n_max, grid_map)
         take_random = jnp.arange(state.n_max) < n_random
-        # samples shifted down by n_random slots is a roll (masked slots
-        # don't care about the wrap) — a gather here would serialize on TPU
+        # injected randoms must occupy the FIRST slots (reference order,
+        # amcmh_localizer.py:505-513): the NEXT step's KLD stop rule counts
+        # occupied bins in draw==slot order, and spread-out randoms up
+        # front keep k(m) high so the stop cannot truncate the injected
+        # diversity away (placing them after the kept samples measurably
+        # breaks kidnapped-robot recovery — see
+        # tests/test_corr_field.py::test_kidnapped_recovery_windowed).
+        # The shift of the kept samples is a roll; masked slots don't care
+        # about the wrap, and a gather here would serialize on TPU
         shifted = jnp.roll(samples, n_random, axis=0)
         return jnp.where(take_random[:, None], randoms, shifted)
 

@@ -384,6 +384,8 @@ def _dist_step(
                 max(config.min_particles // n_dev, 1), nl,
             ).astype(jnp.int32)
             randoms = init_uniform(k_rand_l, nl, grid_map)
+            # randoms in the FIRST slots (reference order; the next step's
+            # KLD stop counts bins in slot order — see filter/step.py)
             slot = jnp.arange(nl)
             shifted = jnp.roll(samples, n_random_l, axis=0)
             particles = jnp.where(
