@@ -135,15 +135,16 @@ def main():
 
     grid_map = _build_map()
 
-    def run_config(n_particles, **kw):
+    def run_config(n_particles, min_particles_override=None, **kw):
         # min_particles = N keeps the KLD count at the full N for every
         # timed step — an honest full-population throughput measurement
         # (with a small min, KLD collapses the active count within the
-        # warmup steps and the run would time mostly padded slots)
+        # warmup steps and the run would time mostly padded slots).  The
+        # kld-adaptive metric overrides this to exercise the adaptive path.
         config = FilterConfig(
             mode="AMHAMCL",
             num_particles=n_particles,
-            min_particles=n_particles,
+            min_particles=(min_particles_override or n_particles),
             max_particles=n_particles,
             initialized=True,
             initial_pose=(0.0, 0.0, 0.3),
@@ -205,6 +206,16 @@ def main():
     # 1M particles, same flagship config, one chip
     ms_1m = run_config(1_000_000, **flagship)
     _emit(f"amhamcl_step_ms_1m_particles_{N_BEAMS}beams_win128", ms_1m,
+          1_000_000)
+
+    # KLD-ADAPTIVE at 1M capacity: min = N/10, so the full adaptive
+    # machinery (hash bin counting, stopping rule, dynamic count) runs in
+    # the timed path and the count actually adapts; ms/scan is over the
+    # 1M-slot arrays whatever the active count settles to (that shrink is
+    # KLD's purpose)
+    ms_kld = run_config(1_000_000, min_particles_override=100_000,
+                        kld_eval_window=131072, **flagship)
+    _emit(f"amhamcl_step_ms_1m_kld_adaptive_{N_BEAMS}beams_win128", ms_kld,
           1_000_000)
 
     # exact-gather scorer at 100k (no corr approximation)

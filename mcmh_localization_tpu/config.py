@@ -60,6 +60,13 @@ class FilterConfig:
     kld_bin_size_xy: float = 0.20
     kld_bin_size_theta: float = 0.1745  # 10 degrees
     kld_delta: float = 0.99
+    # Evaluate the KLD stopping rule on only the first kld_eval_window
+    # draws (0 = all, exact reference semantics).  EXACT whenever a stop
+    # occurs inside the window; otherwise ALL draws are kept — a one-sided
+    # deviation (never fewer particles than the reference) that bounds the
+    # bin-counting cost at large max_particles (the hash scatter is ~8 ms
+    # for 1M draws vs ~1 ms for 128k on v5e; ops/resampling.py).
+    kld_eval_window: int = 0
 
     # --- likelihood-field sensor model (amhmcl.yaml:63-67) ---
     sigma_hit: float = 0.3

@@ -322,6 +322,7 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
         epsilon=config.kld_epsilon,
         z=config.kld_z,
         count=n_resampled,
+        eval_window=config.kld_eval_window,
     )
     n_kept = jnp.minimum(n_kept, n_resampled)
 

@@ -258,6 +258,7 @@ def kld_resample(
     epsilon: float,
     z: float,
     count: jnp.ndarray | None = None,
+    eval_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KLD-adaptive resampling (Fox 2003) with static shapes.
 
@@ -272,6 +273,15 @@ def kld_resample(
 
     ``count``: traced number of meaningful output slots to stride over
     (defaults to max_samples, the reference's N_resampled).
+
+    ``eval_window`` (static, 0 = off): evaluate the stopping rule on only
+    the first ``eval_window`` draws.  EXACT whenever a stop occurs inside
+    the window (a converged cloud stops within a few thousand draws);
+    when no stop occurs there, ALL max_samples are kept — a one-sided
+    deviation (never fewer particles than the reference would keep) that
+    bounds the bin-counting cost: the spatial-hash scatter is the
+    dominant KLD cost at scale (~8 ms for 1M samples vs ~1 ms for 128k
+    on v5e).
     """
     k_idx, k_noise = jax.random.split(key)
     drawn = systematic_resample_particles(
@@ -289,14 +299,19 @@ def kld_resample(
         # ~8 ms on v5e); draws and jitter semantics are unchanged
         return samples, jnp.int32(max_samples)
 
+    ew = (
+        min(eval_window, max_samples)
+        if eval_window and eval_window < max_samples else max_samples
+    )
+    sub = samples[:ew]
     # bin ids; int() truncation toward zero like the reference (:573-575)
-    bx = (samples[:, 0] / bin_size_xy).astype(jnp.int32)
-    by = (samples[:, 1] / bin_size_xy).astype(jnp.int32)
-    bt = (samples[:, 2] / bin_size_theta).astype(jnp.int32)
+    bx = (sub[:, 0] / bin_size_xy).astype(jnp.int32)
+    by = (sub[:, 1] / bin_size_xy).astype(jnp.int32)
+    bt = (sub[:, 2] / bin_size_theta).astype(jnp.int32)
 
-    new_bin = _first_occurrence(bx, by, bt)  # (S,)
+    new_bin = _first_occurrence(bx, by, bt)  # (ew,)
     k_bins = jnp.cumsum(new_bin)  # bins occupied including sample m
-    m = jnp.arange(max_samples)
+    m = jnp.arange(ew)
     # stopping test evaluated when sample m would open a new bin, with m
     # samples already stored (reference: `count` samples stored, breaks
     # before storing)

@@ -375,6 +375,7 @@ def _dist_step(
                 epsilon=config.kld_epsilon,
                 z=config.kld_z,
                 count=count_l - n_random_l,
+                eval_window=config.kld_eval_window,
             )
             n_kept = jnp.minimum(n_kept, count_l - n_random_l)
             # all shards adopt the max island count (conservative: never

@@ -346,3 +346,31 @@ def test_fused_expand_window_boundary_exact():
     want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, num_out))]
     got = np.asarray(expand_sorted(bound, particles, num_out, interpret=True))
     np.testing.assert_array_equal(want, got)
+
+def test_kld_eval_window_exact_when_stopped():
+    """With the stop point inside the window, eval_window gives the exact
+    full-evaluation n_kept; a window excluding the stop keeps everything
+    (the documented one-sided deviation)."""
+    from mcmh_localization_tpu.ops.resampling import kld_resample
+
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(7)
+    n = 8192
+    # converged cloud: tight cluster -> few bins -> early stop
+    particles = jnp.asarray(
+        (rng.normal(size=(n, 3)) * np.array([0.05, 0.05, 0.02]))
+        .astype(np.float32)
+    )
+    w = jnp.full((n,), 1.0 / n, jnp.float32)
+    kw = dict(max_samples=n, min_particles=16, bin_size_xy=0.2,
+              bin_size_theta=0.1745, epsilon=0.03, z=2.0)
+    s_full, k_full = kld_resample(key, particles, w, **kw)
+    s_win, k_win = kld_resample(key, particles, w, eval_window=4096, **kw)
+    assert int(k_full) < 4096  # the premise: stop inside the window
+    assert int(k_full) == int(k_win)
+    np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_win))
+
+    # spread cloud: no stop inside a tiny window -> keep all
+    spread = jnp.asarray((rng.uniform(-8, 8, (n, 3))).astype(np.float32))
+    _, k_spread = kld_resample(key, spread, w, eval_window=256, **kw)
+    assert int(k_spread) == n
