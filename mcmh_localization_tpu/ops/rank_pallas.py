@@ -77,7 +77,7 @@ def _tile_m(t, e):
     ).reshape(1, e)
 
 
-def _kernel(starts_ref, bound_hbm, out_ref, win, sem, *, rtot):
+def _kernel(starts_ref, cap_ref, bound_hbm, out_ref, win, sem, *, rtot):
     e = SUB * 128
     t = pl.program_id(0)
     wstart = starts_ref[t]                  # first window entry row
@@ -86,17 +86,19 @@ def _kernel(starts_ref, bound_hbm, out_ref, win, sem, *, rtot):
     )
     cp.start()
     cp.wait()
-    out_ref[:] = _rank_tile(win[:], _tile_m(t, e), wstart, rtot).reshape(
-        SUB, 128
-    )
+    # slots beyond the cap (count-truncated draws) rank as slot cap —
+    # "tail repeats", and the clamp is what keeps their windows narrow
+    m = jnp.minimum(_tile_m(t, e), cap_ref[0])
+    out_ref[:] = _rank_tile(win[:], m, wstart, rtot).reshape(SUB, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "rtot", "interpret"))
-def _rank_kernel_call(bound2, starts, m_out, rtot, interpret=False):
+def _rank_kernel_call(bound2, starts, cap, m_out, rtot, interpret=False):
     return pl.pallas_call(
         functools.partial(_kernel, rtot=rtot),
         grid=(m_out // (SUB * 128),),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -108,13 +110,14 @@ def _rank_kernel_call(bound2, starts, m_out, rtot, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(starts, bound2)
+    )(starts, cap, bound2)
 
 
 def rank_in_sorted(
     bound: jnp.ndarray,   # (R,) int32 NONDECREASING, values in [0, num_out]
     num_out: int,
     interpret: bool | None = None,
+    count=None,           # traced scalar: slots >= count are tail repeats
 ) -> jnp.ndarray:
     """(num_out,) int32: out[m] = #{j : bound[j] <= m}, clipped to [0, R-1]
     — i.e. the index of the particle whose segment [bound[j-1], bound[j])
@@ -158,21 +161,31 @@ def rank_in_sorted(
                      constant_values=num_out + 1).reshape(-1, 128)
 
     # coarse pass: window start ROW per output tile = (#bounds <= tile
-    # start) // 128, clamped so a full window exists
-    tstarts = jnp.arange(0, m_pad, e, dtype=jnp.int32)
+    # start) // 128, clamped so a full window exists.  With a count, ranked
+    # slots clamp at count-1 (tail repeats), so the probes clamp too —
+    # THIS is what keeps the active/tail boundary tile's window narrow
+    # (without it, one tile straddles cnt(count)..R and the whole call
+    # falls back to the ~15 ms XLA scatter in every count-adaptive draw)
+    mcap = (
+        jnp.asarray(count - 1, jnp.int32) if count is not None
+        else jnp.int32(num_out - 1)
+    )
+    tstarts = jnp.minimum(
+        jnp.arange(0, m_pad, e, dtype=jnp.int32), mcap
+    )
+    tends = jnp.minimum(
+        jnp.arange(0, m_pad, e, dtype=jnp.int32) + (e - 1), mcap
+    )
     cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
     wstart = jnp.clip(cnt // 128, 0, max(rrows - WROWS, 0))
 
-    # fits: every tile's inputs live inside its window (strict: count at
-    # next boundary minus window start row*128 within window)
-    cnt_next = jnp.concatenate(
-        [cnt[1:], jnp.asarray([r], jnp.int32)]
-    )
+    # fits: every tile's (clamped) inputs live inside its window
+    cnt_next = jnp.searchsorted(bound, tends, side="right").astype(jnp.int32)
     fits = jnp.all(cnt_next - wstart * 128 <= WROWS * 128)
 
     def kernel_path(_):
         out = _rank_kernel_call(
-            bound2, wstart, m_pad, r,
+            bound2, wstart, mcap.reshape(1), m_pad, r,
             interpret=bool(interpret) if interpret is not None else False,
         )
         return out.reshape(-1)[:num_out]
@@ -187,7 +200,7 @@ def rank_in_sorted(
 ESUB = 32   # fused tile sublanes (smaller: rank + take buffers coexist)
 
 
-def _expand_kernel(starts_ref, bound_hbm, cols_hbm, out_ref,
+def _expand_kernel(starts_ref, cap_ref, bound_hbm, cols_hbm, out_ref,
                    winb, winc, semb, semc, *, rtot, c):
     e = ESUB * 128
     t = pl.program_id(0)
@@ -202,7 +215,8 @@ def _expand_kernel(starts_ref, bound_hbm, cols_hbm, out_ref,
     cpc.start()
     cpb.wait()
 
-    idx = _rank_tile(winb[:], _tile_m(t, e), wstart, rtot)
+    m = jnp.minimum(_tile_m(t, e), cap_ref[0])  # tail slots repeat slot cap
+    idx = _rank_tile(winb[:], m, wstart, rtot)
 
     # take: window-local offsets (wstart clamped so idx >= wstart*128)
     rl = idx - wstart * 128
@@ -225,12 +239,14 @@ def _expand_kernel(starts_ref, bound_hbm, cols_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "rtot", "interpret"))
-def _expand_kernel_call(bound2, cols3, starts, m_out, rtot, interpret=False):
+def _expand_kernel_call(bound2, cols3, starts, cap, m_out, rtot,
+                        interpret=False):
     c = cols3.shape[0]
     return pl.pallas_call(
         functools.partial(_expand_kernel, rtot=rtot, c=c),
         grid=(m_out // (ESUB * 128),),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -245,7 +261,7 @@ def _expand_kernel_call(bound2, cols3, starts, m_out, rtot, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(starts, bound2, cols3)
+    )(starts, cap, bound2, cols3)
 
 
 def expand_sorted(
@@ -253,6 +269,7 @@ def expand_sorted(
     particles: jnp.ndarray,   # (R, C) float32
     num_out: int,
     interpret: bool | None = None,
+    count=None,               # traced scalar: slots >= count tail-repeat
 ) -> jnp.ndarray:
     """``particles[rank_in_sorted(bound, num_out)]`` in ONE fused kernel:
     per output tile, the bound window AND the particle-column windows share
@@ -264,7 +281,7 @@ def expand_sorted(
     e = ESUB * 128
 
     def xla_path(_):
-        return particles[rank_in_sorted(bound, num_out)]
+        return particles[rank_in_sorted(bound, num_out, count=count)]
 
     use = (interpret is True) or (
         jax.default_backend() == "tpu" and num_out >= 16 * e
@@ -281,22 +298,39 @@ def expand_sorted(
         for ci in range(c)
     ])
 
-    tstarts = jnp.arange(0, m_pad, e, dtype=jnp.int32)
+    mcap = (
+        jnp.asarray(count - 1, jnp.int32) if count is not None
+        else jnp.int32(num_out - 1)
+    )
+    tstarts = jnp.minimum(
+        jnp.arange(0, m_pad, e, dtype=jnp.int32), mcap
+    )
+    tends = jnp.minimum(
+        jnp.arange(0, m_pad, e, dtype=jnp.int32) + (e - 1), mcap
+    )
     cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
     # clamp so idx (<= r-1) can never precede the window: wstart*128 <= r-1
     wstart = jnp.clip(cnt // 128, 0, max(0, min(rrows - WROWS, (r - 1) // 128)))
-    cnt_next = jnp.concatenate([cnt[1:], jnp.asarray([r], jnp.int32)])
+    cnt_next = jnp.searchsorted(bound, tends, side="right").astype(jnp.int32)
     # STRICT: the take stage's window-local offset rl = idx - wstart*128
     # must stay < WROWS*128; the rank value itself may EQUAL the window
     # size when a tile's inputs end exactly at the boundary (the rank-only
     # kernel tolerates that; the fused take would read row WROWS -> zero
     # one-hot mass -> silent (0,0,0) particles; regression test in
-    # tests/test_resampling.py)
-    fits = jnp.all(cnt_next - wstart * 128 < WROWS * 128)
+    # tests/test_resampling.py).  The bound is min(cnt_next, r-1) because
+    # idx is clipped to r-1 in-kernel: when cnt_next == r (a constant
+    # bound tail — every count < num_out draw has one), the clamped-to-end
+    # window still covers every entry and the clipped rank lands at
+    # window offset W*128 - 1 exactly — without the min() those tiles
+    # failed fits and the whole resample silently fell back to the ~15 ms
+    # XLA scatter path (the count-adaptive KLD regime)
+    fits = jnp.all(
+        jnp.minimum(cnt_next, r - 1) - wstart * 128 < WROWS * 128
+    )
 
     def kernel_path(_):
         out = _expand_kernel_call(
-            bound2, cols3, wstart, m_pad, r,
+            bound2, cols3, wstart, mcap.reshape(1), m_pad, r,
             interpret=bool(interpret) if interpret is not None else False,
         )
         return out.reshape(c, -1)[:, :num_out].T

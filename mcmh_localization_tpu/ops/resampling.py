@@ -95,7 +95,7 @@ def systematic_resample_indices(
     from mcmh_localization_tpu.ops.rank_pallas import rank_in_sorted
 
     bound = _segment_bounds(key, weights, num_out, count)
-    return rank_in_sorted(bound, num_out)
+    return rank_in_sorted(bound, num_out, count=count)
 
 
 def _segment_bounds(key, weights, num_out, count=None):
@@ -160,7 +160,7 @@ def systematic_resample_particles(
         from mcmh_localization_tpu.ops.rank_pallas import expand_sorted
 
         bound = _segment_bounds(key, weights, num_out, count)
-        return expand_sorted(bound, particles, num_out)
+        return expand_sorted(bound, particles, num_out, count=count)
     if impl in ("gather", "mxu"):
         idx = systematic_resample_indices(key, weights, num_out, count=count)
         if impl == "mxu":

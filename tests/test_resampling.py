@@ -374,3 +374,25 @@ def test_kld_eval_window_exact_when_stopped():
     spread = jnp.asarray((rng.uniform(-8, 8, (n, 3))).astype(np.float32))
     _, k_spread = kld_resample(key, spread, w, eval_window=256, **kw)
     assert int(k_spread) == n
+
+def test_fused_expand_count_tail():
+    """count < num_out leaves a long constant bound tail (every adaptive
+    KLD draw): the fused kernel must still take it (the tail tiles hit the
+    window-end equality case) and match the two-step path on [:count]."""
+    from mcmh_localization_tpu.ops.rank_pallas import (
+        expand_sorted, rank_in_sorted,
+    )
+    from mcmh_localization_tpu.ops.resampling import _segment_bounds
+
+    rng = np.random.default_rng(51)
+    key = jax.random.PRNGKey(23)
+    n = 65536
+    particles = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    # concentrated active set: first 6k particles carry all the weight
+    w = np.zeros(n, np.float32)
+    w[:6000] = rng.exponential(size=6000).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    bound = _segment_bounds(key, w, n, jnp.int32(6000))
+    want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, n))]
+    got = np.asarray(expand_sorted(bound, particles, n, interpret=True))
+    np.testing.assert_array_equal(want[:6000], got[:6000])
