@@ -257,6 +257,15 @@ class FilterConfig:
             raise ValueError(
                 "corr_theta_window_bins must be 0 or in [2, corr_n_theta)"
             )
+        if self.kld_eval_window and (
+            self.kld_eval_window <= self.min_particles
+        ):
+            raise ValueError(
+                "kld_eval_window must exceed min_particles (the stopping "
+                "rule needs m >= min_particles inside the window; a "
+                "smaller window silently disables adaptation while still "
+                "paying the bin-count cost)"
+            )
         if self.estimate_mode not in ("mean", "cluster"):
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.corr_coarse_factor < 0:

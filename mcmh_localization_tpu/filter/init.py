@@ -30,23 +30,29 @@ _POOL = 65536
 
 
 def init_uniform(key: jax.Array, n: int, grid_map) -> jnp.ndarray:
-    """(n, 3) poses uniform over free space, theta ~ U(-pi, pi)."""
+    """(n, 3) poses uniform over free space, theta ~ U(-pi, pi).
+
+    Above the pool size, CELLS are tiled but the within-cell jitter and
+    theta stay PER SLOT, so every particle is a distinct pose (a fully
+    tiled pose pool was tried and produced bitwise duplicates — 65k
+    distinct hypotheses pretending to be 1M)."""
     k_cell, k_off, k_theta = jax.random.split(key, 3)
     f = grid_map.free_xy.shape[0]
     pool = min(n, _POOL)
     cells = jax.random.randint(k_cell, (pool,), 0, f)
     xy_pool = grid_map.free_xy[cells]  # (pool, 2)
-    jitter = jax.random.uniform(
-        k_off, (pool, 2), minval=-0.5, maxval=0.5
-    ) * grid_map.resolution
-    theta = jax.random.uniform(k_theta, (pool,), minval=-jnp.pi, maxval=jnp.pi)
-    poses = jnp.concatenate(
-        [xy_pool + jitter, theta[:, None]], axis=1
-    ).astype(jnp.float32)
     if pool < n:
         reps = -(-n // pool)
-        poses = jnp.tile(poses, (reps, 1))[:n]
-    return poses
+        xy = jnp.tile(xy_pool, (reps, 1))[:n]
+    else:
+        xy = xy_pool
+    jitter = jax.random.uniform(
+        k_off, (n, 2), minval=-0.5, maxval=0.5
+    ) * grid_map.resolution
+    theta = jax.random.uniform(k_theta, (n,), minval=-jnp.pi, maxval=jnp.pi)
+    return jnp.concatenate(
+        [xy + jitter, theta[:, None]], axis=1
+    ).astype(jnp.float32)
 
 
 def init_gaussian(

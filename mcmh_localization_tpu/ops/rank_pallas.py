@@ -113,6 +113,39 @@ def _rank_kernel_call(bound2, starts, cap, m_out, rtot, interpret=False):
     )(starts, cap, bound2)
 
 
+def _probe_windows(bound, num_out, e, r, rrows, count, clamp_take):
+    """Host-side prologue shared by rank_in_sorted and expand_sorted:
+    per-tile clamped probes, window start rows, and the fits predicate.
+
+    ``clamp_take=True`` is the fused-take variant: wstart additionally
+    clamps so idx (<= r-1) can never precede the window, and fits is
+    STRICT with a min(_, r-1) bound (the take's window-local offset must
+    stay < WROWS*128; rank values may equal it — the in-kernel clip to
+    r-1 makes the window-end equality case safe ONLY because the clamped
+    window then covers the array tail)."""
+    m_pad = -(-num_out // e) * e
+    mcap = (
+        jnp.asarray(count - 1, jnp.int32) if count is not None
+        else jnp.int32(num_out - 1)
+    )
+    t0 = jnp.arange(0, m_pad, e, dtype=jnp.int32)
+    tstarts = jnp.minimum(t0, mcap)
+    tends = jnp.minimum(t0 + (e - 1), mcap)
+    cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
+    hi = max(rrows - WROWS, 0)
+    if clamp_take:
+        hi = max(0, min(hi, (r - 1) // 128))
+    wstart = jnp.clip(cnt // 128, 0, hi)
+    cnt_next = jnp.searchsorted(bound, tends, side="right").astype(jnp.int32)
+    if clamp_take:
+        fits = jnp.all(
+            jnp.minimum(cnt_next, r - 1) - wstart * 128 < WROWS * 128
+        )
+    else:
+        fits = jnp.all(cnt_next - wstart * 128 <= WROWS * 128)
+    return m_pad, mcap, wstart, fits
+
+
 def rank_in_sorted(
     bound: jnp.ndarray,   # (R,) int32 NONDECREASING, values in [0, num_out]
     num_out: int,
@@ -149,39 +182,20 @@ def rank_in_sorted(
     if not use:
         return xla_path(None)
 
-    # pad the OUTPUT to whole tiles: extra m >= num_out are ranked too
-    # (bound values <= num_out, so they just count everything) and sliced
-    # off below
-    m_pad = -(-num_out // e) * e
-
     # pad rows to at least one full kernel window, with num_out + 1
     # (> every real m) so table padding never counts for real outputs
     rrows = max(-(-r // 128), WROWS)
     bound2 = jnp.pad(bound.astype(jnp.int32), (0, rrows * 128 - r),
                      constant_values=num_out + 1).reshape(-1, 128)
 
-    # coarse pass: window start ROW per output tile = (#bounds <= tile
-    # start) // 128, clamped so a full window exists.  With a count, ranked
-    # slots clamp at count-1 (tail repeats), so the probes clamp too —
-    # THIS is what keeps the active/tail boundary tile's window narrow
-    # (without it, one tile straddles cnt(count)..R and the whole call
-    # falls back to the ~15 ms XLA scatter in every count-adaptive draw)
-    mcap = (
-        jnp.asarray(count - 1, jnp.int32) if count is not None
-        else jnp.int32(num_out - 1)
+    # coarse pass + fits: with a count, ranked slots clamp at count-1
+    # (tail repeats) and the probes clamp too — THIS is what keeps the
+    # active/tail boundary tile's window narrow (without it, one tile
+    # straddles cnt(count)..R and the whole call falls back to the ~15 ms
+    # XLA scatter in every count-adaptive draw)
+    m_pad, mcap, wstart, fits = _probe_windows(
+        bound, num_out, e, r, rrows, count, clamp_take=False
     )
-    tstarts = jnp.minimum(
-        jnp.arange(0, m_pad, e, dtype=jnp.int32), mcap
-    )
-    tends = jnp.minimum(
-        jnp.arange(0, m_pad, e, dtype=jnp.int32) + (e - 1), mcap
-    )
-    cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
-    wstart = jnp.clip(cnt // 128, 0, max(rrows - WROWS, 0))
-
-    # fits: every tile's (clamped) inputs live inside its window
-    cnt_next = jnp.searchsorted(bound, tends, side="right").astype(jnp.int32)
-    fits = jnp.all(cnt_next - wstart * 128 <= WROWS * 128)
 
     def kernel_path(_):
         out = _rank_kernel_call(
@@ -289,7 +303,6 @@ def expand_sorted(
     if not use:
         return xla_path(None)
 
-    m_pad = -(-num_out // e) * e
     rrows = max(-(-r // 128), WROWS)
     bound2 = jnp.pad(bound.astype(jnp.int32), (0, rrows * 128 - r),
                      constant_values=num_out + 1).reshape(-1, 128)
@@ -298,34 +311,8 @@ def expand_sorted(
         for ci in range(c)
     ])
 
-    mcap = (
-        jnp.asarray(count - 1, jnp.int32) if count is not None
-        else jnp.int32(num_out - 1)
-    )
-    tstarts = jnp.minimum(
-        jnp.arange(0, m_pad, e, dtype=jnp.int32), mcap
-    )
-    tends = jnp.minimum(
-        jnp.arange(0, m_pad, e, dtype=jnp.int32) + (e - 1), mcap
-    )
-    cnt = jnp.searchsorted(bound, tstarts, side="right").astype(jnp.int32)
-    # clamp so idx (<= r-1) can never precede the window: wstart*128 <= r-1
-    wstart = jnp.clip(cnt // 128, 0, max(0, min(rrows - WROWS, (r - 1) // 128)))
-    cnt_next = jnp.searchsorted(bound, tends, side="right").astype(jnp.int32)
-    # STRICT: the take stage's window-local offset rl = idx - wstart*128
-    # must stay < WROWS*128; the rank value itself may EQUAL the window
-    # size when a tile's inputs end exactly at the boundary (the rank-only
-    # kernel tolerates that; the fused take would read row WROWS -> zero
-    # one-hot mass -> silent (0,0,0) particles; regression test in
-    # tests/test_resampling.py).  The bound is min(cnt_next, r-1) because
-    # idx is clipped to r-1 in-kernel: when cnt_next == r (a constant
-    # bound tail — every count < num_out draw has one), the clamped-to-end
-    # window still covers every entry and the clipped rank lands at
-    # window offset W*128 - 1 exactly — without the min() those tiles
-    # failed fits and the whole resample silently fell back to the ~15 ms
-    # XLA scatter path (the count-adaptive KLD regime)
-    fits = jnp.all(
-        jnp.minimum(cnt_next, r - 1) - wstart * 128 < WROWS * 128
+    m_pad, mcap, wstart, fits = _probe_windows(
+        bound, num_out, e, r, rrows, count, clamp_take=True
     )
 
     def kernel_path(_):

@@ -375,7 +375,14 @@ def _dist_step(
                 epsilon=config.kld_epsilon,
                 z=config.kld_z,
                 count=count_l - n_random_l,
-                eval_window=config.kld_eval_window,
+                # per-shard scaling mirrors min_particles // n_dev: an
+                # unscaled global window would exceed the shard size and
+                # silently disable the prefix evaluation
+                eval_window=(
+                    max(config.kld_eval_window // n_dev,
+                        config.min_particles // n_dev + 1)
+                    if config.kld_eval_window else 0
+                ),
             )
             n_kept = jnp.minimum(n_kept, count_l - n_random_l)
             # all shards adopt the max island count (conservative: never

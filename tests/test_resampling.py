@@ -392,7 +392,16 @@ def test_fused_expand_count_tail():
     w = np.zeros(n, np.float32)
     w[:6000] = rng.exponential(size=6000).astype(np.float32)
     w = jnp.asarray(w / w.sum())
-    bound = _segment_bounds(key, w, n, jnp.int32(6000))
+    cnt = jnp.int32(6000)
+    bound = _segment_bounds(key, w, n, cnt)
+    # reference: XLA path, no count cap
     want = np.asarray(particles)[np.asarray(rank_in_sorted(bound, n))]
-    got = np.asarray(expand_sorted(bound, particles, n, interpret=True))
+    # the COUNT-CAPPED kernel paths (cap_ref clamping + clamped probes)
+    got = np.asarray(
+        expand_sorted(bound, particles, n, interpret=True, count=cnt)
+    )
     np.testing.assert_array_equal(want[:6000], got[:6000])
+    idx_k = np.asarray(rank_in_sorted(bound, n, interpret=True, count=cnt))
+    np.testing.assert_array_equal(
+        want[:6000], np.asarray(particles)[idx_k][:6000]
+    )
