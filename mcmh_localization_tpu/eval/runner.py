@@ -60,6 +60,11 @@ def _get_bag(args, scenario: str, key, grid_map=None) -> Bag:
             from mcmh_localization_tpu.io.rosbag import read_rosbag
 
             return read_rosbag(args.bag)
+        if args.bag.endswith(".db3") or os.path.isdir(args.bag):
+            # rosbag2 sqlite3 storage (file or bag directory)
+            from mcmh_localization_tpu.io.rosbag2 import read_rosbag2
+
+            return read_rosbag2(args.bag)
         return load_bag(args.bag)
     if grid_map is None:
         grid_map = load_map(args.map)

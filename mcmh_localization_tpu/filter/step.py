@@ -168,9 +168,13 @@ def _make_scorer(ranges, angles, grid_map, log_field, config: FilterConfig):
             )
         from mcmh_localization_tpu.models.sensor import raycast_beam_scores
 
+        # config.step beam subsampling applied here (raycast_beam_scores is
+        # config-less); keeps all three beam impls scoring the same subset
         return functools.partial(
             raycast_beam_scores,
-            ranges=ranges, angles=angles, grid_map=grid_map,
+            ranges=ranges[:: config.step] if config.step > 1 else ranges,
+            angles=angles[:: config.step] if config.step > 1 else angles,
+            grid_map=grid_map,
             sigma_hit=config.sigma_hit, z_hit=config.z_hit,
             z_rand=config.z_rand, max_range=config.max_range,
             aggregation=config.score_aggregation,
@@ -546,16 +550,20 @@ def _sensor_table(grid_map, config: FilterConfig, voxel_map=None):
         if impl in ("table", "field"):
             from mcmh_localization_tpu.models.range_table import (
                 build_range_table,
+                make_beam_tables,
                 table_cell_major,
             )
 
+            # "field" carries the BeamTables bundle (f32 table + int8
+            # quantized LUT tables for the fused build kernel + coarse
+            # fallback); "table" flattens cell-major for the
+            # per-(particle, beam) MXU-gather lookup
+            if impl == "field":
+                return make_beam_tables(grid_map, config)
             table = build_range_table(
                 grid_map, config.beam_table_n_theta, config.max_range
             )
-            # "field" keeps (K, H, W) for per-scan window slicing;
-            # "table" flattens cell-major for the per-(particle, beam)
-            # MXU-gather lookup
-            return table if impl == "field" else table_cell_major(table)
+            return table_cell_major(table)
     return log_likelihood_field(grid_map, config)
 
 

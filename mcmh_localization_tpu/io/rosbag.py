@@ -246,7 +246,8 @@ def read_rosbag(path: str, scan_topic: str = "/scan",
     for topic, mtype, _t, raw in read_messages(path):
         if topic == scan_topic and mtype == LASERSCAN_TYPE:
             msg = parse_laserscan(raw)
-            scan_meta = msg
+            if scan_meta is None:
+                scan_meta = msg  # angles/range_max from the FIRST scan
             scans.append(msg)
         elif topic == odom_topic and mtype == ODOMETRY_TYPE:
             odoms.append(parse_odometry(raw))
@@ -261,14 +262,31 @@ def read_rosbag(path: str, scan_topic: str = "/scan",
     odom_t, odom_p = odom_t[order], odom_p[order]
 
     ranges, poses, times = [], [], []
+    m_first = len(scans[0]["ranges"])
+    n_skipped = 0
     for s in scans:
         i = int(np.searchsorted(odom_t, s["stamp"], side="right")) - 1
         if i < 0:
             continue  # scan before any odometry
+        if len(s["ranges"]) != m_first:
+            # real drivers occasionally drop beams; a silent np.stack
+            # error here would be opaque — skip with a warning instead
+            n_skipped += 1
+            continue
         ranges.append(s["ranges"])
         poses.append(odom_p[i])
         times.append(s["stamp"])
-    m = len(scan_meta["ranges"])
+    if n_skipped:
+        import warnings
+
+        warnings.warn(
+            f"{path}: skipped {n_skipped} LaserScan message(s) whose beam "
+            f"count differs from the first scan's ({m_first})",
+            stacklevel=2,
+        )
+    if not ranges:
+        raise ValueError(f"{path}: no usable LaserScan/odometry pairs")
+    m = m_first
     angles = (
         scan_meta["angle_min"]
         + scan_meta["angle_increment"] * np.arange(m)

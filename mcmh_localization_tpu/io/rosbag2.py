@@ -155,7 +155,8 @@ def read_rosbag2(path: str, scan_topic: str = "/scan",
                 msg = parse_laserscan2(bytes(data))
                 if msg["stamp"] == 0.0:
                     msg["stamp"] = ts * 1e-9  # unstamped: use bag receipt time
-                scan_meta = msg
+                if scan_meta is None:
+                    scan_meta = msg  # angles/range_max from the FIRST scan
                 scans.append(msg)
             elif name == odom_topic and mtype == ODOMETRY_TYPE:
                 msg = parse_odometry2(bytes(data))
@@ -176,14 +177,31 @@ def read_rosbag2(path: str, scan_topic: str = "/scan",
     odom_t, odom_p = odom_t[order], odom_p[order]
 
     ranges, poses, times = [], [], []
+    m_first = len(scan_meta["ranges"])
+    n_skipped = 0
     for s in scans:
         i = int(np.searchsorted(odom_t, s["stamp"], side="right")) - 1
         if i < 0:
             continue
+        if len(s["ranges"]) != m_first:
+            # real drivers occasionally drop beams; a silent np.stack
+            # error here would be opaque — skip with a warning instead
+            n_skipped += 1
+            continue
         ranges.append(s["ranges"])
         poses.append(odom_p[i])
         times.append(s["stamp"])
-    m = len(scan_meta["ranges"])
+    if n_skipped:
+        import warnings
+
+        warnings.warn(
+            f"{path}: skipped {n_skipped} LaserScan message(s) whose beam "
+            f"count differs from the first scan's ({m_first})",
+            stacklevel=2,
+        )
+    if not ranges:
+        raise ValueError(f"{path}: no usable LaserScan/odometry pairs")
+    m = m_first
     angles = (
         scan_meta["angle_min"]
         + scan_meta["angle_increment"] * np.arange(m)
@@ -245,9 +263,15 @@ class _CdrW:
         self.parts += arr.tobytes()
 
     def header(self, stamp: float, frame: str):
-        sec = int(stamp)
+        # floor (not toward-zero) so stamps an epsilon below an integer —
+        # e.g. the odometry's t - 1ns at t = 0 — keep nsec in [0, 1e9)
+        sec = int(np.floor(stamp))
+        nsec = int(round((stamp - sec) * 1e9))
+        if nsec >= 1_000_000_000:
+            sec += 1
+            nsec -= 1_000_000_000
         self.i32(sec)
-        self.u32(int(round((stamp - sec) * 1e9)))
+        self.u32(nsec)
         self.string(frame)
 
 

@@ -205,61 +205,86 @@ def _build_field_dft(region, ox, oy, valid, fh, fw):
     F[k, y, x] = sum_j region[y + oy[k,j], x + ox[k,j]]
                = real(IDFT2( DFT2(region) * conj(DFT2(stamp_k)) ))
 
-    * the region transform is computed ONCE for all bins (2 complex
-      matmuls with the DFT matrix);
-    * the per-bin stamps (beam-offset count images) are scattered densely
-      and transformed with the same DFT matrix as batched matmuls — NO
-      per-element trig beyond the data-independent D matrices (a direct
-      NUDFT was tried first: its (nbins, M, S) phase tables cost ~7 ms of
-      transcendentals per scan once the window origin is traced);
-    * the inverse transform is a batched complex matmul pair.
+    Round-3 formulation (~5.5x fewer matmul flops than the round-2 full
+    S x S version, and scatter-free):
 
-    DFT size S >= region side guarantees the evaluated lags never wrap, so
-    the circular correlation equals the linear one on [0, fh) x [0, fw).
-    All matmuls run in f32 (~0.9 ms for 32 bins at the flagship window vs
-    ~8 ms for the per-beam dynamic-rotate Pallas builder and ~21 ms for
-    XLA's large-kernel conv lowering, measured on v5e).
+    * HALF SPECTRUM: region and stamps are real, so their 2-D DFTs are
+      Hermitian (X[S-u, S-v] = conj(X[u, v])) and the product P inherits
+      the symmetry.  Only Sh = S/2 + 1 frequency ROWS are computed
+      end-to-end; the final inverse-u transform folds each conjugate pair
+      with weights alpha = [1, 2, ..., 2, 1] (rfft-style).
+    * SUPPORT TRIMMING: the stamp occupies [0, ksize)^2, the region
+      [0, hr) x [0, wr), and the output only [0, fh) x [0, fw) — every
+      matmul contracts over the occupied rows/cols instead of the padded
+      (S, S) square.
+    * SCATTER-FREE STAMPS: the (nbins, ksize, ksize) beam-count images are
+      built as batched one-hot matmuls (counts stay exact via f32
+      accumulation); the round-2 `.at[].add` scatter of nbins x M updates
+      was a measurable per-scan fixed cost on TPU.
+    * the region transform is computed ONCE for all bins;
+    * NO per-element trig beyond the data-independent (S, S) angle table
+      (a direct NUDFT was tried first: its (nbins, M, S) phase tables cost
+      ~7 ms of transcendentals per scan once the window origin is traced).
+
+    ksize (stamp support) is inferred as hr - fh + 1: both callers size the
+    region as output + stamp support - 1.  DFT size S >= fh + ksize - 1
+    guarantees the evaluated lags never wrap, so the circular correlation
+    equals the linear one on [0, fh) x [0, fw).
     """
     hr, wr = region.shape
+    ksize = hr - fh + 1
     s = max(-(-hr // 128) * 128, -(-wr // 128) * 128)  # MXU-friendly size
+    sh = s // 2 + 1
     nbins, m = ox.shape
-    rp = jnp.pad(region.astype(jnp.float32), ((0, s - hr), (0, s - wr)))
 
     n_grid = jnp.arange(s, dtype=jnp.float32)
     ang = (2.0 * jnp.pi / s) * jnp.outer(n_grid, n_grid)  # (S, S)
-    dr = jnp.cos(ang)
-    di = -jnp.sin(ang)
+    ct = jnp.cos(ang)
+    st = jnp.sin(ang)
+    # D[v, x] = ct - i*st; D_h = first Sh rows (u axis)
 
-    # R_hat = D @ Rp @ D^T (Rp real)
-    a = dr @ rp   # (S, S)
-    b = di @ rp
-    rr = a @ dr.T - b @ di.T
-    ri = a @ di.T + b @ dr.T
+    # ---- region spectrum R_hat (Sh, wr-trimmed -> full v)
+    r32 = region.astype(jnp.float32)
+    a_r = ct[:sh, :hr] @ r32          # (Sh, wr)  real(D_h @ R)
+    a_i = (-st[:sh, :hr]) @ r32       # imag
+    cvr = ct[:, :wr]                  # (S, wr)   right-side D[v, x]
+    cvi = st[:, :wr]
+    rr = a_r @ cvr.T + a_i @ cvi.T    # R_hat = A @ D[:, :wr]^T
+    ri = a_i @ cvr.T - a_r @ cvi.T
 
-    # stamp images: counts of beam offsets per bin, then S_hat = D @ C @ D^T
+    # ---- stamps via one-hot matmuls: C[k] = OHY[k] @ (w * OHX[k])
     w = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
-    stamp = jnp.zeros((nbins, s, s), jnp.float32)
-    kidx = jnp.broadcast_to(jnp.arange(nbins)[:, None], (nbins, m))
-    stamp = stamp.at[kidx, jnp.clip(oy, 0, s - 1),
-                     jnp.clip(ox, 0, s - 1)].add(
-        jnp.broadcast_to(w[None, :], (nbins, m))
-    )
-    c_r = jnp.einsum("us,ksv->kuv", dr, stamp)
-    c_i = jnp.einsum("us,ksv->kuv", di, stamp)
-    srr = jnp.matmul(c_r, dr) - jnp.matmul(c_i, di)   # dr/di symmetric
-    sri = jnp.matmul(c_r, di) + jnp.matmul(c_i, dr)
+    oyc = jnp.clip(oy, 0, ksize - 1)  # invalid beams carry weight 0
+    oxc = jnp.clip(ox, 0, ksize - 1)
+    kio = jnp.arange(ksize, dtype=jnp.int32)
+    ohy = (oyc[:, None, :] == kio[None, :, None]).astype(jnp.float32)
+    ohx = (oxc[:, :, None] == kio[None, None, :]).astype(jnp.float32)
+    stamp = jnp.einsum("ksj,kjt->kst", ohy, ohx * w[None, :, None])
 
-    # P_k = R_hat * conj(S_hat_k)
+    # ---- stamp spectra S_hat (nbins, Sh, S)
+    c_r = jnp.einsum("us,ksv->kuv", ct[:sh, :ksize], stamp)
+    c_i = jnp.einsum("us,ksv->kuv", -st[:sh, :ksize], stamp)
+    ckr = ct[:, :ksize]               # (S, ksize)
+    cki = st[:, :ksize]
+    srr = jnp.matmul(c_r, ckr.T) + jnp.matmul(c_i, cki.T)
+    sri = jnp.matmul(c_i, ckr.T) - jnp.matmul(c_r, cki.T)
+
+    # ---- P_k = R_hat * conj(S_hat_k)   (nbins, Sh, S)
     pr = rr[None] * srr + ri[None] * sri
     pi = ri[None] * srr - rr[None] * sri
 
-    # F_k = real(IDFT2(P_k)) = (D^H P D^*).real / S^2
-    #     = (dr@pr@dr - dr@pi@di - di@pr@di - di@pi@dr... expand carefully:
-    # IDFT matrix Dinv = conj(D)/S: real(Dc @ P @ Dc^T) with Dc = (dr - i*di)
-    ar = jnp.matmul(dr, pr) + jnp.matmul(di, pi)   # real(Dc @ P)
-    ai = jnp.matmul(dr, pi) - jnp.matmul(di, pr)   # imag(Dc @ P)
-    f = jnp.matmul(ar, dr) + jnp.matmul(ai, di)    # real(... @ Dc^T)
-    return f[:, :fh, :fw] / (s * s)
+    # ---- inverse along v (only x < fw needed): Q = P @ E, E[v,x]=e^{+ivx}
+    exr = ct[:, :fw]                  # (S, fw)
+    exi = st[:, :fw]
+    qr = jnp.matmul(pr, exr) - jnp.matmul(pi, exi)
+    qi = jnp.matmul(pr, exi) + jnp.matmul(pi, exr)
+
+    # ---- inverse along u with Hermitian fold (only y < fh needed)
+    alpha = jnp.full((sh,), 2.0, jnp.float32).at[0].set(1.0).at[sh - 1].set(1.0)
+    eyr = ct[:fh, :sh] * alpha[None, :]   # (fh, Sh)
+    eyi = st[:fh, :sh] * alpha[None, :]
+    f = jnp.matmul(eyr, qr) - jnp.matmul(eyi, qi)
+    return f / (s * s)
 
 
 def _shard_bins(builder, ox, oy, axis):

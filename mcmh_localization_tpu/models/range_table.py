@@ -36,6 +36,8 @@ environment) are unaffected.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,69 @@ from mcmh_localization_tpu.models.sensor import (
     LOG_FLOOR,
     RAY_STEP,
 )
+
+
+class BeamTables(NamedTuple):
+    """Per-(map, config) precompute bundle for the beam score-field path.
+
+    ``table`` is the f32 range table (dense/reference-parity path);
+    ``qt`` its int8 quantized-index form (values index ``dvals``) for the
+    fused LUT kernel (ops/beam_field_pallas.py); ``qtc`` the block-center
+    subsample of ``qt`` for the coarse recovery-fallback field (None when
+    the coarse fallback is disabled)."""
+
+    table: jnp.ndarray        # (K, H, W) float32
+    qt: jnp.ndarray           # (K, H, W) int8
+    dvals: jnp.ndarray        # (nq,) float32 distinct range values
+    qtc: jnp.ndarray | None   # (K, Hc, Wc) int8 or None
+
+
+def quantize_table(table: jnp.ndarray, max_range: float,
+                   step: float = RAY_STEP):
+    """(K, H, W) f32 range table -> (int8 value-index table, (nq,) values).
+
+    The table only ever contains ``i * step`` for i in [1, n_steps] plus
+    ``max_range`` (map-exit rays) — ``nq = n_steps + 1`` distinct values —
+    so the per-beam log-mixture of the beam model collapses to a (M, nq)
+    LUT per scan (see beam_field_scores).  Exact: round-trip
+    ``dvals[qt]`` reproduces the f32 table bit-for-bit.
+    """
+    n_steps = int(max_range / step)
+    # float64 products rounded once to f32 — the exact values
+    # build_range_table stores (its d_steps follows the same path)
+    dvals = jnp.asarray(
+        np.concatenate([np.arange(1, n_steps + 1) * step, [max_range]]),
+        jnp.float32,
+    )
+    nq = int(dvals.shape[0])
+    assert nq <= 127, "int8 quantized table needs max_range/step <= 126"
+    qi = jnp.clip((table / step + 0.5).astype(jnp.int32) - 1, 0, n_steps - 1)
+    qi = jnp.where(table >= jnp.float32(max_range), n_steps, qi)
+    return qi.astype(jnp.int8), dvals
+
+
+def make_beam_tables(grid_map, config: FilterConfig) -> BeamTables:
+    """Build the full beam-field precompute bundle for a map."""
+    table = build_range_table(
+        grid_map, config.beam_table_n_theta, config.max_range
+    )
+    qt, dvals = quantize_table(table, config.max_range)
+    qtc = None
+    if config.corr_coarse_factor > 0:
+        f = config.corr_coarse_factor
+        qtc = qt[:, f // 2::f, f // 2::f]
+    return BeamTables(table=table, qt=qt, dvals=dvals, qtc=qtc)
+
+
+def _as_beam_tables(table, config: FilterConfig) -> BeamTables:
+    if isinstance(table, BeamTables):
+        return table
+    qt, dvals = quantize_table(jnp.asarray(table), config.max_range)
+    qtc = None
+    if config.corr_coarse_factor > 0:
+        f = config.corr_coarse_factor
+        qtc = qt[:, f // 2::f, f // 2::f]
+    return BeamTables(table=jnp.asarray(table), qt=qt, dvals=dvals, qtc=qtc)
 
 
 def build_range_table(
@@ -125,15 +190,130 @@ def table_cell_major(table: jnp.ndarray) -> jnp.ndarray:
     return table.transpose(1, 2, 0).reshape(h * w, k)
 
 
+def _beam_lut(safe_r, valid, dvals, config: FilterConfig) -> jnp.ndarray:
+    """(M, nq) per-beam log-mixture at each quantized range value.
+
+    lp[j, q] = log(max(z_hit * N(r_j - dvals[q]; sigma_hit) + z_rand /
+    max_range, 1e-6)) — the beam model of compute_likelihoods_raycast
+    (parallel_utils.py:151-201) evaluated once per (beam, distinct table
+    value); invalid beams carry weight 0.  ~18k transcendentals replace
+    the ~190M of the dense field build.
+    """
+    sigma = config.sigma_hit
+    inv_sqrt = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * sigma)
+    ph = inv_sqrt * jnp.exp(
+        -0.5 * ((safe_r[:, None] - dvals[None, :]) / sigma) ** 2
+    )
+    lp = jnp.log(jnp.maximum(
+        config.z_hit * ph + config.z_rand / config.max_range, LOG_FLOOR
+    ))
+    return jnp.where(valid[:, None], lp, 0.0)
+
+
+def _bin_lut_matrix(g, lp, n_theta):
+    """S[k, g, q] = sum_{j: g[k, j] = g} lp[j, q] via a one-hot einsum
+    (nbins x M updates as a scatter serialize on TPU; this is one small
+    MXU matmul).  f32-exact (HIGHEST precision; the array is tiny)."""
+    bg = (g[:, :, None] == jnp.arange(n_theta, dtype=jnp.int32)[None, None, :])
+    return jnp.einsum(
+        "kjg,jq->kgq", bg.astype(jnp.float32), lp,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _beam_coarse_field_indices(
+    px, py, pth, lp, count, angles, grid_map, tables: BeamTables,
+    config: FilterConfig, n_theta: int, res, prec, interpret,
+):
+    """Coarse full-map fallback field + per-particle lookup indices for the
+    beam model — the recovery-parity twin of
+    models/corr_field.py::_coarse_field_indices (round-2 verdict: windowed
+    beam escapees BLIND-scored and died, so augmented-MCL injection —
+    amcmh_localizer.py:496-527 — could not recover a kidnapped robot under
+    sensor_model="beam").
+
+    The field is evaluated at block-CENTER cells (``tables.qtc`` is the
+    f-strided subsample of the quantized table) under a MILDLY optimistic
+    per-beam LUT: lpc[j, q] = max over |q' - q| <= 1 of lp[j, q'],
+    covering only the RAY_STEP range quantization.  Unlike the corr
+    path's coarse field, NO block-level max is applied: block-center
+    evaluation is an unbiased sample of the block (the corr field needed
+    max-pooling because MEAN-pooling the log field systematically
+    handicaps free-space poses near obstacles), and a wider window-max
+    was measured to let routine theta-window escapees outscore the honest
+    in-window cloud and drag tracking off (~1.1 m RMSE on the CPU house
+    run).  Heading stays quantized to corr_coarse_n_theta bin centers,
+    the same class of approximation as the corr coarse field.
+    """
+    from mcmh_localization_tpu.models.sensor import INVALID_SCORE
+    from mcmh_localization_tpu.ops.beam_field_pallas import lut_field
+
+    f = config.corr_coarse_factor
+    kc = config.corr_coarse_n_theta
+    qtc = tables.qtc
+    k_tab, hc, wc = qtc.shape
+    nq = int(tables.dvals.shape[0])
+
+    slack = 1
+    lpc = lp
+    for sft in range(1, slack + 1):
+        # edge-mode padding: the window clips at the q boundaries (zero
+        # padding would lift the common max_range slot to max(lp, 0) = 0)
+        lpc = jnp.maximum(
+            lpc, jnp.pad(lp, ((0, 0), (sft, 0)), mode="edge")[:, :-sft]
+        )
+        lpc = jnp.maximum(
+            lpc, jnp.pad(lp, ((0, 0), (0, sft)), mode="edge")[:, sft:]
+        )
+
+    dtheta = 2.0 * jnp.pi / n_theta
+    centers_c = (jnp.arange(kc) + 0.5) * (2.0 * jnp.pi / kc) - jnp.pi
+    gc = (
+        jnp.floor((centers_c[:, None] + angles[None, :] + jnp.pi) / dtheta)
+        .astype(jnp.int32) % n_theta
+    )  # (kc, M)
+    sc = _bin_lut_matrix(gc, lpc, n_theta)
+    cfield = lut_field(
+        qtc.reshape(k_tab, hc * wc), sc, nq, precision=prec,
+        interpret=interpret,
+    ).reshape(kc, hc, wc)
+
+    if config.motion_validity == "score":
+        # blocks with NO free cell take the invalid penalty; blocks with
+        # any free cell stay optimistic (mirrors the corr coarse field)
+        occ = grid_map.occupancy
+        h, w = occ.shape
+        free = jnp.pad(
+            occ == 0, ((0, hc * f - h), (0, wc * f - w)),
+            constant_values=False,
+        )
+        any_free = free.reshape(hc, f, wc, f).any(axis=(1, 3))
+        cfield = cfield + (
+            INVALID_SCORE * jnp.maximum(count, 1).astype(jnp.float32)
+        ) * jnp.where(any_free, 0.0, 1.0)[None]
+
+    res_c = f * res
+    cx = jnp.clip(
+        ((px - grid_map.origin[0]) / res_c).astype(jnp.int32), 0, wc - 1
+    )
+    cy = jnp.clip(
+        ((py - grid_map.origin[1]) / res_c).astype(jnp.int32), 0, hc - 1
+    )
+    ck = (((pth + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)) % kc
+    return cfield.astype(jnp.float32), ck, cy, cx
+
+
 def beam_field_scores(
     particles: jnp.ndarray,
     ranges: jnp.ndarray,
     angles: jnp.ndarray,
     grid_map,
     config: FilterConfig,
-    table: jnp.ndarray,      # (K, H, W) range table (build_range_table)
+    table,                   # (K, H, W) range table or BeamTables bundle
     n_theta: int,
     window_origin: tuple,    # (oy0, ox0[, kstart]) cell/bin coords, traced
+    impl: str = "auto",      # "auto" | "lut" | "dense"
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Per-particle beam-model scores via a per-scan SCORE FIELD — the
     fully gather-free TPU formulation of ``compute_likelihoods_raycast``
@@ -145,23 +325,34 @@ def beam_field_scores(
 
         score[k, cy, cx] = sum_j log p(r_j | R[bin(c_k + a_j), cy, cx])
 
-    so the whole scan collapses to DENSE elementwise work over
-    (window-bins x win x win) cells — VPU-friendly shifted adds exactly
-    like the correlation field (models/corr_field.py) — followed by ONE
-    field lookup per particle.  Heading is quantized to the particle's
-    theta-bin CENTER (the same quantization class as the corr scorer;
-    agrees with ``raycast_table_scores`` exactly when headings sit at bin
-    centers — tests/test_range_table.py).
+    so the whole scan collapses to a dense field build followed by ONE
+    field lookup per particle.  Two builders:
+
+    * ``impl="lut"`` (TPU default): the table has only nq distinct values,
+      so per-beam scores collapse to a (M, nq) LUT and the field to
+      ``sum_g S[k, g, q] * [Q[g, cell] == q]`` — a fused one-hot matmul in
+      VMEM (ops/beam_field_pallas.py; ~0.3 ms vs the dense build's ~2.8).
+    * ``impl="dense"`` (CPU/tests default): direct per-bin evaluation over
+      (M, win, win) slabs — transcendental-heavy but dependency-free.
+
+    Both agree with ``raycast_table_scores`` exactly when poses sit at
+    cell centers and headings at bin centers (heading is quantized to the
+    particle's theta-bin CENTER — the same quantization class as the corr
+    scorer; tests/test_range_table.py).
 
     Requires a spatial window (``corr_window_cells``); a theta window
     (``corr_theta_window_bins``) cuts the build by K/bins.  In-map
-    particles escaping the window take BLIND_SCORE (document: no coarse
-    fallback for the beam model; use beam_impl="table" for global
-    relocalization configs).
+    particles escaping the window score via the coarse full-map fallback
+    field when ``corr_coarse_factor > 0`` (kidnapped-robot recovery — see
+    ``_beam_coarse_field_indices``), or take BLIND_SCORE when disabled.
     """
     from mcmh_localization_tpu.models.sensor import INVALID_SCORE
-    from mcmh_localization_tpu.ops.gather_pallas import gather_2d
+    from mcmh_localization_tpu.ops.gather_pallas import (
+        gather_2d,
+        gather_2d_select,
+    )
 
+    tables = _as_beam_tables(table, config)
     max_range = config.max_range
     sigma = config.sigma_hit
     if config.step > 1:
@@ -171,7 +362,7 @@ def beam_field_scores(
     count = jnp.sum(valid)
     safe_r = jnp.where(valid, ranges, 0.0)
 
-    k_tab, h, w = table.shape
+    k_tab, h, w = tables.table.shape
     win = min(config.corr_window_cells, h, w)
     oy0 = jnp.clip(jnp.asarray(window_origin[0], jnp.int32), 0, h - win)
     ox0 = jnp.clip(jnp.asarray(window_origin[1], jnp.int32), 0, w - win)
@@ -183,9 +374,6 @@ def beam_field_scores(
         else jnp.int32(0)
     )
 
-    # (K, win, win) window of the precomputed table: ONE dynamic slice
-    rw = jax.lax.dynamic_slice(table, (0, oy0, ox0), (k_tab, win, win))
-
     # global table bin per (window bin, beam): headings at bin CENTERS
     dtheta = 2.0 * jnp.pi / n_theta
     centers = (kstart + jnp.arange(nbins) + 0.5) * dtheta - jnp.pi
@@ -194,18 +382,45 @@ def beam_field_scores(
         .astype(jnp.int32) % n_theta
     )  # (nbins, M)
 
-    inv_sqrt = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * sigma)
-    z_floor = config.z_rand / max_range
+    if impl == "auto":
+        impl = "lut" if jax.default_backend() == "tpu" else "dense"
+    # lut_field has no XLA fallback: off-TPU it must run in interpret mode
+    # (gathers keep their own auto fallback via interpret=None)
+    lut_interp = (
+        interpret if interpret is not None
+        else jax.default_backend() != "tpu"
+    )
+    prec = "bf16" if config.score_aggregation == "mean" else "split"
 
-    def one_bin(g_k):
-        rows = rw[g_k]  # (M, win, win): M row gathers of dense slabs
-        ph = inv_sqrt * jnp.exp(
-            -0.5 * ((safe_r[:, None, None] - rows) / sigma) ** 2
+    lp = _beam_lut(safe_r, valid, tables.dvals, config)  # (M, nq)
+    if impl == "lut":
+        from mcmh_localization_tpu.ops.beam_field_pallas import lut_field
+
+        nq = int(tables.dvals.shape[0])
+        qw = jax.lax.dynamic_slice(
+            tables.qt, (0, oy0, ox0), (k_tab, win, win)
+        ).reshape(k_tab, win * win)
+        s_mat = _bin_lut_matrix(g, lp, n_theta)  # (nbins, K, nq)
+        field = lut_field(
+            qw, s_mat, nq, precision=prec, interpret=lut_interp
+        ).reshape(nbins, win, win)
+    else:
+        # (K, win, win) window of the precomputed table: ONE dynamic slice
+        rw = jax.lax.dynamic_slice(
+            tables.table, (0, oy0, ox0), (k_tab, win, win)
         )
-        lp = jnp.log(jnp.maximum(config.z_hit * ph + z_floor, LOG_FLOOR))
-        return jnp.sum(jnp.where(valid[:, None, None], lp, 0.0), axis=0)
+        inv_sqrt = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * sigma)
+        z_floor = config.z_rand / max_range
 
-    field = jax.lax.map(one_bin, g)  # (nbins, win, win)
+        def one_bin(g_k):
+            rows = rw[g_k]  # (M, win, win): M row gathers of dense slabs
+            ph = inv_sqrt * jnp.exp(
+                -0.5 * ((safe_r[:, None, None] - rows) / sigma) ** 2
+            )
+            lpd = jnp.log(jnp.maximum(config.z_hit * ph + z_floor, LOG_FLOOR))
+            return jnp.sum(jnp.where(valid[:, None, None], lpd, 0.0), axis=0)
+
+        field = jax.lax.map(one_bin, g)  # (nbins, win, win)
 
     score_validity = config.motion_validity == "score"
     if score_validity:
@@ -219,11 +434,11 @@ def beam_field_scores(
         field = field + pen_total * jnp.where(occ_win == 0, 0.0, 1.0)[None]
 
     # ---- one lookup per particle
-    mx, my = grid_map.world_to_grid(particles[:, 0], particles[:, 1])
+    pt = particles.T
+    px, py, pth = pt[0], pt[1], pt[2]
+    mx, my = grid_map.world_to_grid(px, py)
     in_map = grid_map.in_bounds(mx, my)
-    tbin = (
-        ((particles[:, 2] + jnp.pi) / dtheta).astype(jnp.int32) % n_theta
-    )
+    tbin = ((pth + jnp.pi) / dtheta).astype(jnp.int32) % n_theta
     if use_theta_win:
         k_rel = (tbin - kstart) % n_theta
         in_theta = k_rel < nbins
@@ -234,25 +449,61 @@ def beam_field_scores(
     myw = jnp.clip(my, 0, h - 1) - oy0
     in_window = (mxw >= 0) & (mxw < win) & (myw >= 0) & (myw < win)
     covered = in_window & in_theta
-    prec = "bf16" if config.score_aggregation == "mean" else "split"
     # theta-minor rows: converged clouds are spatially tight but spread
     # over theta bins — pack (y, bin) rows so the gather kernel visits few
     # 128-row chunks (see models/corr_field.py lookup comment)
     field_t = field.transpose(1, 0, 2).reshape(win * nbins, win)
-    totals = gather_2d(
-        field_t,
-        jnp.clip(myw, 0, win - 1) * nbins + tbin,
-        jnp.clip(mxw, 0, win - 1),
-        precision=prec,
-    )
-    totals = jnp.where(in_map & covered, totals, 0.0)
+    rows_fine = jnp.clip(myw, 0, win - 1) * nbins + tbin
+    cols_fine = jnp.clip(mxw, 0, win - 1)
+
+    res = float(jax.device_get(grid_map.resolution))
+    use_coarse = config.corr_coarse_factor > 0 and tables.qtc is not None
+
+    if use_coarse:
+        # fine lookup for covered particles, coarse-fallback for escapees —
+        # ONE fused gather pass over both fields stacked (the same
+        # unconditional-on-TPU / lax.cond-gated-on-CPU structure as
+        # models/corr_field.py; see the fusion-loss measurement there)
+        def _with_coarse(_):
+            cfield, ck, cy, cx = _beam_coarse_field_indices(
+                px, py, pth, lp, count, angles, grid_map, tables, config,
+                n_theta, res, prec, lut_interp,
+            )
+            kc, hc, wc = cfield.shape
+            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+            t = gather_2d_select(
+                field_t, rows_fine, cols_fine,
+                cfield_t, cy * kc + ck, cx,
+                use_a=covered, precision=prec, interpret=interpret,
+            )
+            return jnp.where(in_map, t, 0.0)
+
+        if jax.default_backend() == "tpu":
+            totals = _with_coarse(None)
+        else:
+            def _fine_only(_):
+                t = gather_2d(field_t, rows_fine, cols_fine,
+                              precision=prec, interpret=interpret)
+                return jnp.where(in_map & covered, t, 0.0)
+
+            totals = jax.lax.cond(
+                jnp.any(in_map & ~covered), _with_coarse, _fine_only,
+                operand=None,
+            )
+    else:
+        totals = gather_2d(field_t, rows_fine, cols_fine,
+                           precision=prec, interpret=interpret)
+        totals = jnp.where(in_map & covered, totals, 0.0)
+
     if config.score_aggregation == "sum":
         score = totals
     else:
         score = totals / jnp.maximum(count, 1)
     # out-of-map: reference zero-contribution (or invalid pen under
-    # score-validity); in-map window escapees: blind penalty
-    score = jnp.where(in_map & ~covered, BLIND_SCORE, score)
+    # score-validity); in-map window escapees: blind penalty unless the
+    # coarse fallback scored them
+    if not use_coarse:
+        score = jnp.where(in_map & ~covered, BLIND_SCORE, score)
     if score_validity:
         pen = (
             INVALID_SCORE * jnp.maximum(count, 1).astype(jnp.float32)
@@ -279,9 +530,19 @@ def raycast_table_scores(
     with finite r < max_range count; per-beam
     log(max(z_hit*N(r - r_pred; sigma_hit) + z_rand/max_range, 1e-6));
     blind scans score BLIND_SCORE.
+
+    ``config.step`` beam subsampling applies here exactly as in the field
+    impl and the likelihood-field scorer, so beam_impl="auto" cannot flip
+    between impls that score different beam subsets (the REFERENCE's
+    raycast scorer ignores its step parameter — parallel_utils.py:151-201
+    has no stride — a quirk we deviate from for cross-impl consistency;
+    see PARITY.md).
     """
     max_range = config.max_range
     sigma = config.sigma_hit
+    if config.step > 1:
+        ranges = ranges[:: config.step]
+        angles = angles[:: config.step]
     valid = jnp.isfinite(ranges) & (ranges < max_range)
     count = jnp.sum(valid)
     safe_r = jnp.where(valid, ranges, 0.0)

@@ -377,10 +377,15 @@ def _dist_step(
                 count=count_l - n_random_l,
                 # per-shard scaling mirrors min_particles // n_dev: an
                 # unscaled global window would exceed the shard size and
-                # silently disable the prefix evaluation
+                # silently disable the prefix evaluation.  The clamp keeps
+                # the window STRICTLY above the per-shard min actually
+                # passed to kld_resample — with min_particles < n_dev both
+                # terms would otherwise collapse to equal values and
+                # silently disable the KLD stop the config-level
+                # validation (kld_eval_window > min_particles) guarantees
                 eval_window=(
                     max(config.kld_eval_window // n_dev,
-                        config.min_particles // n_dev + 1)
+                        max(config.min_particles // n_dev, 1) + 1)
                     if config.kld_eval_window else 0
                 ),
             )

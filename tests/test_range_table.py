@@ -161,9 +161,11 @@ def test_beam_field_theta_window_and_escapees(box_map):
     from mcmh_localization_tpu.models.sensor import BLIND_SCORE
 
     k_bins = 16
+    # corr_coarse_factor=0: escapees must take BLIND (the coarse-fallback
+    # escapee behavior is covered by test_beam_coarse_fallback_*)
     cfg_full = FilterConfig(max_range=2.0, sigma_hit=0.1,
                             beam_table_n_theta=k_bins,
-                            corr_window_cells=32)
+                            corr_window_cells=32, corr_coarse_factor=0)
     cfg_tw = cfg_full.replace(corr_theta_window_bins=6)
     table = build_range_table(box_map, k_bins, 2.0)
     dth = 2 * np.pi / k_bins
@@ -227,3 +229,149 @@ def test_beam_field_filter_tracks(house_map):
     true = _wrap(poses[-1])
     err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
     assert err < 0.3, err
+
+
+def test_quantize_table_roundtrip(box_map):
+    """dvals[qt] reproduces the f32 range table bit-for-bit (the LUT field
+    path relies on the table having only nq distinct values)."""
+    from mcmh_localization_tpu.models.range_table import quantize_table
+
+    table = build_range_table(box_map, 8, 2.0)
+    qt, dvals = quantize_table(table, 2.0)
+    assert qt.dtype == jnp.int8
+    rt = np.asarray(dvals)[np.asarray(qt).astype(np.int32)]
+    np.testing.assert_array_equal(rt, np.asarray(table))
+
+
+def test_beam_field_lut_matches_dense(box_map):
+    """The fused LUT one-hot matmul build (interpret mode) == the dense
+    per-bin build: same per-beam terms, reorganized summation."""
+    from mcmh_localization_tpu.models.range_table import beam_field_scores
+
+    k_bins = 16
+    cfg = FilterConfig(max_range=2.0, sigma_hit=0.1,
+                       beam_table_n_theta=k_bins,
+                       corr_window_cells=32, corr_theta_window_bins=6,
+                       corr_coarse_factor=0)
+    table = build_range_table(box_map, k_bins, 2.0)
+    dth = 2 * np.pi / k_bins
+    angles = jnp.asarray(np.arange(-3, 4) * dth, jnp.float32)
+    rng = np.random.default_rng(5)
+    n = 40
+    ys = rng.integers(17, 47, n)
+    xs = rng.integers(17, 47, n)
+    cx, cy = box_map.grid_to_world(jnp.asarray(xs, jnp.int32),
+                                   jnp.asarray(ys, jnp.int32))
+    th = rng.uniform(-np.pi + 4 * dth, -np.pi + 9 * dth, n)  # bins ~4..9
+    particles = jnp.stack([cx + 0.01, cy - 0.01,
+                           jnp.asarray(th, jnp.float32)], axis=1)
+    ranges = raycast(particles[0, :2], particles[0, 2] + angles, box_map, 2.0)
+
+    # sum aggregation -> hi/lo split S planes: ~1e-5 relative
+    cfg_sum = cfg.replace(score_aggregation="sum")
+    kw = dict(ranges=ranges, angles=angles, grid_map=box_map,
+              config=cfg_sum, table=table, n_theta=k_bins,
+              window_origin=(16, 16, 4))
+    s_dense = np.asarray(beam_field_scores(particles, impl="dense", **kw))
+    s_lut = np.asarray(beam_field_scores(particles, impl="lut",
+                                         interpret=True, **kw))
+    np.testing.assert_allclose(s_lut, s_dense, rtol=1e-4, atol=1e-3)
+
+    # mean aggregation -> raw bf16 S: ~0.4% of the O(1) per-beam log
+    kw["config"] = cfg
+    s_dense_m = np.asarray(beam_field_scores(particles, impl="dense", **kw))
+    s_lut_m = np.asarray(beam_field_scores(particles, impl="lut",
+                                           interpret=True, **kw))
+    np.testing.assert_allclose(s_lut_m, s_dense_m, atol=2e-2)
+
+
+def test_beam_coarse_fallback_scores_escapees(box_map):
+    """With corr_coarse_factor > 0, in-map window escapees score via the
+    coarse full-map field (finite, above BLIND for a well-fitting pose)
+    and the coarse value is OPTIMISTIC: >= the fine score at the same pose
+    minus quantization slack."""
+    from mcmh_localization_tpu.models.range_table import beam_field_scores
+    from mcmh_localization_tpu.models.sensor import BLIND_SCORE
+
+    k_bins = 16
+    cfg = FilterConfig(max_range=2.0, sigma_hit=0.1,
+                       beam_table_n_theta=k_bins,
+                       corr_window_cells=32, corr_theta_window_bins=6,
+                       corr_coarse_factor=4, corr_coarse_n_theta=8)
+    table = build_range_table(box_map, k_bins, 2.0)
+    dth = 2 * np.pi / k_bins
+
+    angles = jnp.asarray(np.arange(-3, 4) * dth, jnp.float32)
+    # a pose far OUTSIDE the window at (40, 40): true-pose quality scan
+    wx, wy = box_map.grid_to_world(jnp.int32(10), jnp.int32(10))
+    pose_th = float(-np.pi + 4.5 * dth)
+    ranges = raycast(jnp.asarray([wx, wy]), pose_th + angles, box_map, 2.0)
+    esc = jnp.asarray([[float(wx), float(wy), pose_th]], jnp.float32)
+
+    s = np.asarray(beam_field_scores(
+        esc, ranges, angles, box_map, cfg, table, k_bins,
+        window_origin=(40, 40, 4)))
+    assert s[0] > BLIND_SCORE, s
+    # a good out-of-window pose must beat a BAD pose inside the window
+    # (the recovery ordering augmented-MCL injection needs)
+    bad_x, bad_y = box_map.grid_to_world(jnp.int32(44), jnp.int32(44))
+    bad = jnp.asarray([[float(bad_x), float(bad_y),
+                        float(-np.pi + 5.5 * dth)]], jnp.float32)
+    s_bad = np.asarray(beam_field_scores(
+        bad, ranges, angles, box_map, cfg, table, k_bins,
+        window_origin=(40, 40, 4)))
+    assert s[0] > s_bad[0], (s, s_bad)
+
+
+def test_beam_kidnapped_recovery_windowed(house_map):
+    """A windowed BEAM-field AMCL filter tracking at pose A is kidnapped
+    (teleport to B, odometry blind).  Augmented-MCL injection must fire and
+    injected particles near B must survive via the beam coarse fallback
+    field so the cluster estimate re-localizes — the beam-model twin of
+    tests/test_corr_field.py::test_kidnapped_recovery_windowed (reference
+    recovery path: amcmh_localizer.py:496-527)."""
+    from mcmh_localization_tpu.filter.step import make_model
+    from tests.test_filter import _simulate
+
+    def _wrap_arr(a):
+        return (np.asarray(a) + np.pi) % (2 * np.pi) - np.pi
+
+    t_a, t_b = 30, 60
+    ts_a = np.linspace(0, 1.5 * np.pi, t_a)
+    ts_b = np.linspace(0, 3 * np.pi, t_b)
+    p_a = np.stack(
+        [2.5 + 0.8 * np.cos(ts_a), 2.5 + 0.8 * np.sin(ts_a),
+         _wrap_arr(ts_a + np.pi / 2)], axis=1
+    ).astype(np.float32)
+    p_b = np.stack(
+        [-2.5 + 0.8 * np.cos(ts_b), -2.5 + 0.8 * np.sin(ts_b),
+         _wrap_arr(ts_b + np.pi / 2)], axis=1
+    ).astype(np.float32)
+    poses = np.concatenate([p_a, p_b])
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    deltas = np.array(deltas)
+    deltas[t_a] = deltas[t_a + 1]  # odometry is blind to the teleport
+    cfg = FilterConfig(
+        mode="AMCL", num_particles=1500, min_particles=200,
+        max_particles=2500,
+        initialized=True, initial_pose=tuple(map(float, p_a[0])),
+        max_range=5.0,
+        sensor_model="beam", beam_impl="field", beam_table_n_theta=90,
+        corr_window_cells=96, sigma_hit=0.2,
+        estimate_mode="cluster",
+        alpha_slow=0.05, alpha_fast=0.7,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(4))
+    _, infos = model.run(state, scans, angles, jnp.asarray(deltas))
+    est = np.asarray(infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    p_rand = np.asarray(infos.p_random)
+    assert np.mean(errs[t_a - 5:t_a]) < 0.5, errs[t_a - 5:t_a]
+    # beam scores jitter more than corr ones, so injection idles warm and
+    # the cluster estimate can re-localize within the kidnap step itself —
+    # assert the teleport was VISIBLE (a > 2 m estimate excursion in the
+    # transient) rather than a full-step loss like the corr twin
+    assert errs[t_a:t_a + 5].max() > 2.0, errs[t_a:t_a + 5]
+    assert p_rand[t_a:t_a + 10].max() > 0.2
+    assert np.mean(errs[-8:]) < 0.5, errs[-12:]
