@@ -31,6 +31,11 @@ import jax.numpy as jnp
 # Per-sample jitter applied by KLD sampling (parallel_utils.py:552)
 KLD_NOISE_STD = (0.001, 0.001, 0.02)
 
+# Stage-1 prefix of the escalating KLD stop evaluation (see kld_resample):
+# large enough that any converged cloud stops inside it, small enough that
+# its hash scatter stays ~1 ms on v5e
+_KLD_STAGE1 = 131072
+
 
 def softmax_weights(scores: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Log-scores -> normalized weights (amcmh_localizer.py:351-358).
@@ -212,14 +217,24 @@ def _first_occurrence_sort(bx, by, bt) -> jnp.ndarray:
 _HASH_BITS = 18  # 256k-slot table
 
 
-def _first_occurrence_hash(bx, by, bt) -> jnp.ndarray:
+def _first_occurrence_hash(bx, by, bt, bits: int = _HASH_BITS) -> jnp.ndarray:
     """Sort-free first-occurrence via a spatial-hash scatter-min table.
 
     Each sample's bin hashes to a slot; scatter-min of the sample index
     marks the slot's first visitor.  Distinct bins colliding in a slot are
-    (rarely, ~k/2^19) merged — a slight undercount of the occupied-bin
-    count k, statistically negligible for the KLD stopping rule, and ~10x
-    faster than lexsort on TPU where sorts are the slowest primitive.
+    merged — an undercount of the occupied-bin count k bounded by the
+    birthday term ~k^2/2^19 (a few bins at realistic cloud densities),
+    statistically negligible for the KLD stopping rule, and ~10x faster
+    than lexsort on TPU where sorts are the slowest primitive.
+
+    The slot hash MUST avalanche AND carry: the classic spatial hash
+    (low 18 bits of an XOR of prime products) collides structurally —
+    XOR never propagates carries, so products of small bin coords merge
+    ~38% of distinct bins even BEFORE masking (measured at 4k bins); a
+    murmur finalizer cannot separate inputs that are already equal.
+    ADDING the products (carries propagate) and then running a
+    murmur3-style finalizer restores the birthday bound (measured 26
+    merges at 4k bins vs ~32 predicted).
 
     The winners are converted back to a per-sample mask by SCATTERING the
     table's winner indices (table-size elements), not by gathering
@@ -227,12 +242,20 @@ def _first_occurrence_hash(bx, by, bt) -> jnp.ndarray:
     ~7.5 ns/element (7.5 ms at 1M samples), dominating the whole KLD pass.
     """
     s = bx.shape[0]
-    slot = (
-        bx * jnp.int32(73856093)
-        ^ by * jnp.int32(19349663)
-        ^ bt * jnp.int32(83492791)
-    ) & ((1 << _HASH_BITS) - 1)
-    table = jnp.full(1 << _HASH_BITS, s, dtype=jnp.int32)
+    h = (
+        bx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + by.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + bt.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+    )
+    # murmur3 fmix32 finalizer: full avalanche so the masked low bits
+    # depend on every input bit
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    slot = (h & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+    table = jnp.full(1 << bits, s, dtype=jnp.int32)
     table = table.at[slot].min(jnp.arange(s, dtype=jnp.int32))
     # mask[i] = True iff i won its slot (empty slots hold s -> dropped)
     return jnp.zeros(s, dtype=bool).at[table].set(True, mode="drop")
@@ -245,6 +268,32 @@ def _first_occurrence(bx, by, bt, impl: str = "auto") -> jnp.ndarray:
     if impl == "hash":
         return _first_occurrence_hash(bx, by, bt)
     return _first_occurrence_sort(bx, by, bt)
+
+
+def _hash_bits_for(n_samples: int) -> int:
+    """Table size for an n-sample first-occurrence pass: ~1x the sample
+    count (the distinct-bin load is always well below the sample count at
+    stop-relevant densities, and the debias correction absorbs the rest).
+    The scatter-back over the table costs ~7.5 ns/slot on v5e, so an
+    oversized table dominates small passes."""
+    bits = 14
+    while (1 << bits) < n_samples and bits < _HASH_BITS:
+        bits += 1
+    return bits
+
+
+def _hash_debias(k_occ: jnp.ndarray, bits: int = _HASH_BITS) -> jnp.ndarray:
+    """Occupied-slot count -> expected distinct-bin count for the hash path.
+
+    A table of T slots holding k distinct bins occupies T(1 - e^(-k/T))
+    slots in expectation; inverting gives k = -T log1p(-occ/T) — the
+    standard load-factor correction for hash-based distinct counting.
+    Exact in expectation at every load factor, so the KLD bound sees an
+    unbiased bin count even when the table saturates (diffuse clouds).
+    """
+    t = float(1 << bits)
+    occ = jnp.minimum(k_occ.astype(jnp.float32), t - 1.0)
+    return -t * jnp.log1p(-occ / t)
 
 
 def kld_resample(
@@ -274,50 +323,114 @@ def kld_resample(
     ``count``: traced number of meaningful output slots to stride over
     (defaults to max_samples, the reference's N_resampled).
 
-    ``eval_window`` (static, 0 = off): evaluate the stopping rule on only
-    the first ``eval_window`` draws.  EXACT whenever a stop occurs inside
-    the window (a converged cloud stops within a few thousand draws);
-    when no stop occurs there, ALL max_samples are kept — a one-sided
-    deviation (never fewer particles than the reference would keep) that
-    bounds the bin-counting cost: the spatial-hash scatter is the
-    dominant KLD cost at scale (~8 ms for 1M samples vs ~1 ms for 128k
-    on v5e).
+    ``eval_window`` (static, 0 = adaptive): with a window set, the stopping
+    rule is evaluated on only the first ``eval_window`` draws — EXACT
+    whenever a stop occurs inside the window, else ALL max_samples are
+    kept (a one-sided deviation that hard-bounds the bin-counting cost).
+
+    With ``eval_window=0`` (default) the evaluation ESCALATES, and so does
+    the DRAW: stage 1 draws and evaluates only a ~128k prefix of the
+    systematic sequence (prefix-consistent by construction — the stride is
+    1/count regardless of how many draws are realized, and the jitter for
+    the tail uses a separate fold of the key so the stage-1 rows are
+    bitwise-identical in both branches).  Only when no stop occurs in the
+    prefix does a lax.cond draw + jitter + evaluate the full range.  EXACT
+    at every size: the stop rule at sample m depends only on samples
+    <= m, so a prefix stop equals the monolithic stop, and the full branch
+    extends the same realized sequence.  A converged cloud (the
+    steady-state regime) stops in stage 1 and never pays the full-size
+    expand (~4.5 ms), jitter (~0.7 ms), or hash scatter (~9 ms at 1M on
+    v5e); a diffuse cloud pays them exactly when the reference's python
+    set-loop would also have walked every sample
+    (parallel_utils.py:529-591).
+
+    Samples at index >= n_kept are implementation-defined (the stage-1
+    branch zero-pads them); callers mask by n_kept.
     """
-    k_idx, k_noise = jax.random.split(key)
-    drawn = systematic_resample_particles(
-        k_idx, particles, weights, max_samples, count=count
-    )  # (S, 3)
-    noise = jax.random.normal(k_noise, drawn.shape, dtype=drawn.dtype) * jnp.asarray(
-        KLD_NOISE_STD, dtype=drawn.dtype
-    )
-    samples = drawn + noise
+    k_idx, k_noise, k_noise_tail = jax.random.split(key, 3)
+    noise_std = jnp.asarray(KLD_NOISE_STD, dtype=particles.dtype)
+
+    def _draw(num_out, k_n):
+        """First num_out draws + jitter of the systematic sequence whose
+        stride is 1/count (prefix-consistent across num_out)."""
+        stride = count if count is not None else jnp.int32(max_samples)
+        d = systematic_resample_particles(
+            k_idx, particles, weights, num_out, count=stride
+        )
+        return d + jax.random.normal(k_n, d.shape, d.dtype) * noise_std
+
+    impl = "hash" if jax.default_backend() == "tpu" else "sort"
+
+    def _first_stop(sub):
+        """(any_stop, first_stop) of the KLD rule over a samples prefix."""
+        # bin ids; int() truncation toward zero like the reference (:573-575)
+        bx = (sub[:, 0] / bin_size_xy).astype(jnp.int32)
+        by = (sub[:, 1] / bin_size_xy).astype(jnp.int32)
+        bt = (sub[:, 2] / bin_size_theta).astype(jnp.int32)
+        bits = _hash_bits_for(sub.shape[0])
+        new_bin = (
+            _first_occurrence_hash(bx, by, bt, bits=bits)
+            if impl == "hash" else _first_occurrence_sort(bx, by, bt)
+        )
+        k_bins = jnp.cumsum(new_bin)  # bins occupied including sample m
+        # hash path: slot-collision merges undercount k; debias via the
+        # occupancy inversion so the chi^2 bound is unbiased at any load
+        k_f = (
+            _hash_debias(k_bins, bits) if impl == "hash"
+            else k_bins.astype(jnp.float32)
+        )
+        m = jnp.arange(sub.shape[0])
+        # stopping test evaluated when sample m would open a new bin, with
+        # m samples already stored (reference: `count` samples stored,
+        # breaks before storing)
+        required = _kld_chi2_bound(k_f, epsilon, z)
+        stop_here = (
+            new_bin & (k_bins > 1) & (m >= min_particles) & (m > required)
+        )
+        return jnp.any(stop_here), jnp.argmax(stop_here).astype(jnp.int32)
 
     if min_particles >= max_samples:
         # the caller clamps the new count to [min_particles, max_samples],
         # so with min == max the stopping rule is provably dead — skip the
         # bin-counting machinery entirely (the 1M-sample hash scatter is
-        # ~8 ms on v5e); draws and jitter semantics are unchanged
-        return samples, jnp.int32(max_samples)
+        # ~9 ms on v5e); draws and jitter semantics are unchanged
+        return _draw(max_samples, k_noise), jnp.int32(max_samples)
 
-    ew = (
-        min(eval_window, max_samples)
-        if eval_window and eval_window < max_samples else max_samples
-    )
-    sub = samples[:ew]
-    # bin ids; int() truncation toward zero like the reference (:573-575)
-    bx = (sub[:, 0] / bin_size_xy).astype(jnp.int32)
-    by = (sub[:, 1] / bin_size_xy).astype(jnp.int32)
-    bt = (sub[:, 2] / bin_size_theta).astype(jnp.int32)
+    if eval_window and eval_window < max_samples:
+        samples = _draw(max_samples, k_noise)
+        any_stop, first_stop = _first_stop(samples[:eval_window])
+        n_kept = jnp.where(any_stop, first_stop, max_samples)
+        return samples, n_kept.astype(jnp.int32)
 
-    new_bin = _first_occurrence(bx, by, bt)  # (ew,)
-    k_bins = jnp.cumsum(new_bin)  # bins occupied including sample m
-    m = jnp.arange(ew)
-    # stopping test evaluated when sample m would open a new bin, with m
-    # samples already stored (reference: `count` samples stored, breaks
-    # before storing)
-    required = _kld_chi2_bound(k_bins.astype(jnp.float32), epsilon, z)
-    stop_here = new_bin & (k_bins > 1) & (m >= min_particles) & (m > required)
-    any_stop = jnp.any(stop_here)
-    first_stop = jnp.argmax(stop_here)  # first True
-    n_kept = jnp.where(any_stop, first_stop, max_samples).astype(jnp.int32)
-    return samples, n_kept
+    w1 = max(_KLD_STAGE1, 2 * min_particles)
+    if w1 < max_samples:
+        samples1 = _draw(w1, k_noise)  # == full sequence rows [0, w1)
+        a1, f1 = _first_stop(samples1)
+
+        def _stage1(_):
+            pad = jnp.zeros((max_samples - w1, 3), samples1.dtype)
+            return jnp.concatenate([samples1, pad]), f1
+
+        def _full(_):
+            drawn = systematic_resample_particles(
+                k_idx, particles, weights, max_samples,
+                count=count if count is not None else jnp.int32(max_samples),
+            )
+            tail = (
+                jax.random.normal(
+                    k_noise_tail, (max_samples - w1, 3), drawn.dtype
+                ) * noise_std
+            )
+            # rows [0, w1) reuse samples1 (same k_idx bounds + k_noise
+            # jitter -> bitwise-equal prefix; the tail extends the
+            # realized sequence instead of redrawing it)
+            samples = jnp.concatenate([samples1, drawn[w1:] + tail])
+            a2, f2 = _first_stop(samples)
+            return samples, jnp.where(a2, f2, max_samples).astype(jnp.int32)
+
+        return jax.lax.cond(a1, _stage1, _full, operand=None)
+
+    samples = _draw(max_samples, k_noise)
+    any_stop, first_stop = _first_stop(samples)
+    n_kept = jnp.where(any_stop, first_stop, max_samples)
+    return samples, n_kept.astype(jnp.int32)

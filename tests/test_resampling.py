@@ -405,3 +405,101 @@ def test_fused_expand_count_tail():
     np.testing.assert_array_equal(
         want[:6000], np.asarray(particles)[idx_k][:6000]
     )
+
+
+def test_first_occurrence_hash_forced():
+    """The TPU-default spatial-hash first-occurrence path, forced on CPU:
+    matches the exact sort path up to the birthday-bound ~k^2/2^19 slot
+    collisions (the add+fmix hash must hit this bound; the original
+    XOR-of-products hash merged 38% of bins here)."""
+    from mcmh_localization_tpu.ops.resampling import (
+        _first_occurrence_hash,
+        _first_occurrence_sort,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    # realistic tracking-cloud density: ~4k distinct bins; expected
+    # distinct-bin collisions in the 2^18-slot table ~ k^2/2^19 ~ 32
+    bx = jnp.asarray(rng.integers(-8, 8, n).astype(np.int32))
+    by = jnp.asarray(rng.integers(-8, 8, n).astype(np.int32))
+    bt = jnp.asarray(rng.integers(-8, 8, n).astype(np.int32))
+    got = np.asarray(_first_occurrence_hash(bx, by, bt))
+    want = np.asarray(_first_occurrence_sort(bx, by, bt))
+    # a collision merges two distinct bins: strictly an UNDERCOUNT of
+    # occupied bins, bounded by the ~k^2/2^19 birthday term (x4 slack)
+    k = want.sum()
+    assert got.sum() <= k
+    assert (k - got.sum()) / k < 4.0 * k / 2 ** 19, (got.sum(), k)
+    # per-sample mask disagreements stay in the same collision budget
+    assert np.mean(got != want) < 4.0 * k ** 2 / 2 ** 19 / n
+
+
+def test_hash_debias_recovers_distinct_count():
+    """The occupancy->distinct inversion recovers the true bin count
+    within a few percent from tracking density up to table saturation."""
+    from mcmh_localization_tpu.ops.resampling import (
+        _first_occurrence_hash,
+        _first_occurrence_sort,
+        _hash_debias,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, span in [(20000, 8), (200000, 60)]:
+        bx = jnp.asarray(rng.integers(-span, span, n).astype(np.int32))
+        by = jnp.asarray(rng.integers(-span, span, n).astype(np.int32))
+        bt = jnp.asarray(rng.integers(-16, 16, n).astype(np.int32))
+        occ = int(np.asarray(_first_occurrence_hash(bx, by, bt)).sum())
+        k_true = int(np.asarray(_first_occurrence_sort(bx, by, bt)).sum())
+        k_est = float(_hash_debias(jnp.int32(occ)))
+        assert abs(k_est - k_true) / k_true < 0.03, (n, occ, k_true, k_est)
+
+
+def test_kld_escalation_exact():
+    """eval_window=0 escalates the draw+evaluation: with the stage-1
+    window shrunk so both branches are exercised, each branch's stopping
+    point must match the python-set golden walk over the sequence the
+    call actually realized (samples beyond n_kept are padding in the
+    stage-1 branch; the golden walk never reaches them when it stops at
+    the same point)."""
+    from mcmh_localization_tpu.ops import resampling as rs
+
+    key = jax.random.PRNGKey(7)
+    n = 4096
+    w = jnp.full((n,), 1.0 / n, jnp.float32)
+    kw = dict(max_samples=n, min_particles=20, bin_size_xy=0.5,
+              bin_size_theta=0.3, epsilon=0.3, z=2.0)
+
+    orig = rs._KLD_STAGE1
+    rs._KLD_STAGE1 = 128
+    try:
+        # clustered cloud: the rule trips early -> STAGE-1 branch
+        rng = np.random.default_rng(4)
+        clustered = jnp.asarray(
+            rng.normal(scale=[0.3, 0.3, 0.1], size=(n, 3)).astype(np.float32)
+        )
+        samples1, k1 = rs.kld_resample(key, clustered, w, **kw)
+        golden1 = _golden_kld_count(
+            np.asarray(samples1), 0.5, 0.3, 0.3, 2.0, n, 20
+        )
+        assert int(k1) == golden1, (int(k1), golden1)
+        assert int(k1) < 128  # really stopped inside stage 1
+        # stage-1 branch zero-pads the tail
+        assert np.all(np.asarray(samples1)[2048:] == 0.0)
+
+        # spread cloud + tight epsilon: no stage-1 stop -> FULL branch
+        # (prefix + extended tail); the golden walk must reproduce the
+        # stop over that exact realized sequence
+        spread = jnp.asarray(
+            rng.uniform(-50, 50, size=(n, 3)).astype(np.float32)
+        )
+        kw2 = dict(kw, epsilon=0.05)
+        samples2, k2 = rs.kld_resample(key, spread, w, **kw2)
+        golden2 = _golden_kld_count(
+            np.asarray(samples2), 0.5, 0.3, 0.05, 2.0, n, 20
+        )
+        assert int(k2) == golden2 == n
+        # full-branch output is real draws everywhere, not padding
+        assert np.all(np.abs(np.asarray(samples2)) > 0.0)
+    finally:
+        rs._KLD_STAGE1 = orig
