@@ -212,9 +212,10 @@ def main():
     # machinery (hash bin counting, stopping rule, dynamic count) runs in
     # the timed path and the count actually adapts; ms/scan is over the
     # 1M-slot arrays whatever the active count settles to (that shrink is
-    # KLD's purpose)
+    # KLD's purpose).  kld_eval_window=0 = the EXACT escalating
+    # prefix-draw evaluation (ops/resampling.py), no one-sided deviation.
     ms_kld = run_config(1_000_000, min_particles_override=100_000,
-                        kld_eval_window=131072, **flagship)
+                        kld_eval_window=0, **flagship)
     _emit(f"amhamcl_step_ms_1m_kld_adaptive_{N_BEAMS}beams_win128", ms_kld,
           1_000_000)
 

@@ -36,6 +36,7 @@ environment) are unaffected.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -190,6 +191,25 @@ def table_cell_major(table: jnp.ndarray) -> jnp.ndarray:
     return table.transpose(1, 2, 0).reshape(h * w, k)
 
 
+def _sharded_bin_stack(build_k, stack_k: int, axis: str | None):
+    """Build a (stack_k, ...) per-theta-bin stack via ``build_k(rows)``,
+    theta-sharded over a shard_map ``axis`` when set (the
+    models/corr_field.py::_shard_bins idiom): each device builds
+    stack_k/n_dev bins, one all_gather reassembles the stack.  Falls back
+    to the local build when the bin count does not divide the axis
+    (``jax.lax.psum(1, axis)`` constant-folds to the static axis size)."""
+    rows_all = jnp.arange(stack_k, dtype=jnp.int32)
+    if axis is None:
+        return build_k(rows_all)
+    ndev = jax.lax.psum(1, axis)
+    if stack_k % ndev != 0 or stack_k < ndev:
+        return build_k(rows_all)
+    axd = jax.lax.axis_index(axis)
+    kd = stack_k // ndev
+    rows = jax.lax.dynamic_slice_in_dim(rows_all, axd * kd, kd, 0)
+    return jax.lax.all_gather(build_k(rows), axis, axis=0, tiled=True)
+
+
 def _beam_lut(safe_r, valid, dvals, config: FilterConfig) -> jnp.ndarray:
     """(M, nq) per-beam log-mixture at each quantized range value.
 
@@ -224,6 +244,7 @@ def _bin_lut_matrix(g, lp, n_theta):
 def _beam_coarse_field_indices(
     px, py, pth, lp, count, angles, grid_map, tables: BeamTables,
     config: FilterConfig, n_theta: int, res, prec, interpret,
+    shard_bins_axis: str | None = None,
 ):
     """Coarse full-map fallback field + per-particle lookup indices for the
     beam model — the recovery-parity twin of
@@ -273,9 +294,12 @@ def _beam_coarse_field_indices(
         .astype(jnp.int32) % n_theta
     )  # (kc, M)
     sc = _bin_lut_matrix(gc, lpc, n_theta)
-    cfield = lut_field(
-        qtc.reshape(k_tab, hc * wc), sc, nq, precision=prec,
-        interpret=interpret,
+    cfield = _sharded_bin_stack(
+        lambda rows: lut_field(
+            qtc.reshape(k_tab, hc * wc), sc[rows], nq, precision=prec,
+            interpret=interpret,
+        ),
+        kc, shard_bins_axis,
     ).reshape(kc, hc, wc)
 
     if config.motion_validity == "score":
@@ -314,6 +338,7 @@ def beam_field_scores(
     window_origin: tuple,    # (oy0, ox0[, kstart]) cell/bin coords, traced
     impl: str = "auto",      # "auto" | "lut" | "dense"
     interpret: bool | None = None,
+    shard_bins_axis: str | None = None,  # shard_map axis: theta-sharded build
 ) -> jnp.ndarray:
     """Per-particle beam-model scores via a per-scan SCORE FIELD — the
     fully gather-free TPU formulation of ``compute_likelihoods_raycast``
@@ -345,6 +370,13 @@ def beam_field_scores(
     particles escaping the window score via the coarse full-map fallback
     field when ``corr_coarse_factor > 0`` (kidnapped-robot recovery — see
     ``_beam_coarse_field_indices``), or take BLIND_SCORE when disabled.
+
+    ``shard_bins_axis``: under shard_map, build only this device's slice
+    of the window's theta bins and all_gather the stack (the build is
+    embarrassingly parallel over bins — the multi-chip story mirrors
+    models/corr_field.py::_shard_bins; requires nbins %% n_devices == 0,
+    guarded in parallel/distributed.py).  The coarse fallback field
+    shards over its own corr_coarse_n_theta bins when divisible.
     """
     from mcmh_localization_tpu.models.sensor import INVALID_SCORE
     from mcmh_localization_tpu.ops.gather_pallas import (
@@ -392,6 +424,8 @@ def beam_field_scores(
     )
     prec = "bf16" if config.score_aggregation == "mean" else "split"
 
+    _over_bins = functools.partial(_sharded_bin_stack, axis=shard_bins_axis)
+
     lp = _beam_lut(safe_r, valid, tables.dvals, config)  # (M, nq)
     if impl == "lut":
         from mcmh_localization_tpu.ops.beam_field_pallas import lut_field
@@ -401,8 +435,11 @@ def beam_field_scores(
             tables.qt, (0, oy0, ox0), (k_tab, win, win)
         ).reshape(k_tab, win * win)
         s_mat = _bin_lut_matrix(g, lp, n_theta)  # (nbins, K, nq)
-        field = lut_field(
-            qw, s_mat, nq, precision=prec, interpret=lut_interp
+        field = _over_bins(
+            lambda rows: lut_field(
+                qw, s_mat[rows], nq, precision=prec, interpret=lut_interp
+            ),
+            nbins,
         ).reshape(nbins, win, win)
     else:
         # (K, win, win) window of the precomputed table: ONE dynamic slice
@@ -420,7 +457,9 @@ def beam_field_scores(
             lpd = jnp.log(jnp.maximum(config.z_hit * ph + z_floor, LOG_FLOOR))
             return jnp.sum(jnp.where(valid[:, None, None], lpd, 0.0), axis=0)
 
-        field = jax.lax.map(one_bin, g)  # (nbins, win, win)
+        field = _over_bins(
+            lambda rows: jax.lax.map(one_bin, g[rows]), nbins
+        )  # (nbins, win, win)
 
     score_validity = config.motion_validity == "score"
     if score_validity:
@@ -468,6 +507,7 @@ def beam_field_scores(
             cfield, ck, cy, cx = _beam_coarse_field_indices(
                 px, py, pth, lp, count, angles, grid_map, tables, config,
                 n_theta, res, prec, lut_interp,
+                shard_bins_axis=shard_bins_axis,
             )
             kc, hc, wc = cfield.shape
             cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
@@ -478,7 +518,11 @@ def beam_field_scores(
             )
             return jnp.where(in_map, t, 0.0)
 
-        if jax.default_backend() == "tpu":
+        # unconditional under bin sharding too: the coarse build then
+        # contains an all_gather, and a per-shard lax.cond predicate could
+        # disagree across shards — one device entering the collective while
+        # another skips it deadlocks the mesh
+        if jax.default_backend() == "tpu" or shard_bins_axis is not None:
             totals = _with_coarse(None)
         else:
             def _fine_only(_):

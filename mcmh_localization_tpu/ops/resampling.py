@@ -402,7 +402,11 @@ def kld_resample(
         n_kept = jnp.where(any_stop, first_stop, max_samples)
         return samples, n_kept.astype(jnp.int32)
 
-    w1 = max(_KLD_STAGE1, 2 * min_particles)
+    # stage-1 window: headroom of ~max(32k, min/4) past min_particles —
+    # converged clouds stop within a few thousand draws of the min, and a
+    # tighter window keeps the hash table a power of two smaller (the
+    # scatter costs scale with both the sample count and the table size)
+    w1 = max(_KLD_STAGE1, min_particles + min_particles // 4)
     if w1 < max_samples:
         samples1 = _draw(w1, k_noise)  # == full sequence rows [0, w1)
         a1, f1 = _first_stop(samples1)

@@ -130,7 +130,8 @@ def estimate_pose_cluster_dist(
 # the sharded step body (runs per shard under shard_map)
 # ---------------------------------------------------------------------------
 
-def _dist_window_origin(particles, mask, count, grid_map, config, axis):
+def _dist_window_origin(particles, mask, count, grid_map, config, axis,
+                        n_theta=None):
     n = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis), 1)
     sx = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 0], 0.0)), axis)
     sy = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 1], 0.0)), axis)
@@ -144,7 +145,7 @@ def _dist_window_origin(particles, mask, count, grid_map, config, axis):
         s = jax.lax.psum(
             jnp.sum(jnp.where(mask, jnp.sin(particles[:, 2]), 0.0)), axis)
         mean_t = jnp.arctan2(s, c)
-        k = config.corr_n_theta
+        k = n_theta if n_theta is not None else config.corr_n_theta
         kmid = (
             ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
         )
@@ -189,11 +190,62 @@ def _dist_scorer(ranges, angles, grid_map, log_field, config, axis, n_dev,
             window_origin=window_origin,
             shard_bins_axis=axis if shard_ok else None,
         )
+    if config.sensor_model == "beam":
+        from mcmh_localization_tpu.filter.step import _resolved_beam_impl
+
+        beam_impl = _resolved_beam_impl(config)
+        if beam_impl == "field":
+            # theta-sharded per-scan score-field build (the build is the
+            # dominant per-scan cost; embarrassingly parallel over bins,
+            # models/range_table.py::_sharded_bin_stack)
+            from mcmh_localization_tpu.models.range_table import (
+                beam_field_scores,
+            )
+
+            tw = config.corr_theta_window_bins
+            theta_win_on = (
+                bool(tw) and window_origin is not None
+                and len(window_origin) == 3
+            )
+            active_bins = tw if theta_win_on else config.beam_table_n_theta
+            shard_ok = active_bins % n_dev == 0 and active_bins >= n_dev
+            return functools.partial(
+                beam_field_scores,
+                ranges=ranges, angles=angles, grid_map=grid_map,
+                config=config, table=log_field,
+                n_theta=config.beam_table_n_theta,
+                window_origin=window_origin,
+                shard_bins_axis=axis if shard_ok else None,
+            )
+        if beam_impl == "table":
+            # fully local per particle: the cell-major LUT lookup has no
+            # cross-shard structure (replicated table)
+            from mcmh_localization_tpu.models.range_table import (
+                raycast_table_scores,
+            )
+
+            return functools.partial(
+                raycast_table_scores,
+                ranges=ranges, angles=angles, grid_map=grid_map,
+                config=config, table_cm=log_field,
+                n_theta=config.beam_table_n_theta,
+            )
+        from mcmh_localization_tpu.models.sensor import raycast_beam_scores
+
+        return functools.partial(
+            raycast_beam_scores,
+            ranges=ranges[:: config.step] if config.step > 1 else ranges,
+            angles=angles[:: config.step] if config.step > 1 else angles,
+            grid_map=grid_map,
+            sigma_hit=config.sigma_hit, z_hit=config.z_hit,
+            z_rand=config.z_rand, max_range=config.max_range,
+            aggregation=config.score_aggregation,
+        )
     if config.sensor_model != "likelihood_field":
         raise ValueError(
-            f"make_dist_model supports sensor_model='likelihood_field' only "
-            f"(got {config.sensor_model!r}); the beam/lidar3d models are "
-            f"single-host for now — use make_model + GSPMD sharding"
+            f"make_dist_model supports sensor_model='likelihood_field' and "
+            f"'beam' (got {config.sensor_model!r}); lidar3d is single-host "
+            f"for now — use make_model + GSPMD sharding"
         )
     from mcmh_localization_tpu.models.sensor import likelihood_field_scores
 
@@ -240,8 +292,19 @@ def _dist_step(
         delta=delta.astype(jnp.float32),
     )
 
-    # ---- correct: global softmax over theta-sharded corr scores
-    if (
+    # ---- correct: global softmax over theta-sharded corr/beam scores
+    from mcmh_localization_tpu.filter.step import _resolved_beam_impl
+
+    beam_field = (
+        config.sensor_model == "beam"
+        and _resolved_beam_impl(config) == "field"
+    )
+    if beam_field:
+        wo = _dist_window_origin(
+            state.particles, mask, state.count, grid_map, config, axis,
+            n_theta=config.beam_table_n_theta,
+        )
+    elif (
         config.corr_window_cells
         and config.sensor_model == "likelihood_field"
         and config.likelihood_impl in ("auto", "corr")
@@ -254,7 +317,7 @@ def _dist_step(
     score = _dist_scorer(
         ranges, angles, grid_map, log_field, config, axis, n_dev, wo
     )
-    corr_active = (
+    corr_active = beam_field or (
         config.sensor_model == "likelihood_field"
         and (config.likelihood_impl == "corr"
              or (config.likelihood_impl == "auto"
@@ -475,11 +538,11 @@ def make_dist_model(
     Particle counts are rounded up so num/max particles divide evenly by the
     mesh size (the count invariant keeps every island the same size).
     """
-    if config.sensor_model != "likelihood_field":
+    if config.sensor_model not in ("likelihood_field", "beam"):
         raise ValueError(
-            f"make_dist_model supports sensor_model='likelihood_field' only "
-            f"(got {config.sensor_model!r}); the beam/lidar3d models are "
-            f"single-host for now — use make_model + GSPMD sharding"
+            f"make_dist_model supports sensor_model='likelihood_field' and "
+            f"'beam' (got {config.sensor_model!r}); lidar3d is single-host "
+            f"for now — use make_model + GSPMD sharding"
         )
     n_dev = int(mesh.devices.size)
 
@@ -494,7 +557,9 @@ def make_dist_model(
     n_max = state_size(config)
     nl = n_max // n_dev
     migrate = int(nl * migration_fraction)
-    log_field = log_likelihood_field(grid_map, config)
+    from mcmh_localization_tpu.filter.step import _sensor_table
+
+    log_field = _sensor_table(grid_map, config)
 
     state_specs = FilterState(
         particles=P(axis, None),

@@ -141,6 +141,127 @@ def test_dist_step_has_no_big_gather(house_map, mesh):
         assert s < particle_bytes // 2, (s, particle_bytes)
 
 
+def test_dist_beam_field_matches_local(house_map, mesh):
+    """Theta-sharded beam score-field build == the local build (the beam
+    twin of test_theta_sharded_build_matches_local; round-2 verdict #6b:
+    the framework's own beam field had no multi-chip story)."""
+    from mcmh_localization_tpu.models.range_table import (
+        beam_field_scores,
+        make_beam_tables,
+    )
+
+    cfg = FilterConfig(
+        mode="MCL", num_particles=256, max_particles=256, min_particles=32,
+        initialized=True, initial_pose=(1.0, 1.0, 0.4), max_range=5.0,
+        sensor_model="beam", beam_impl="field", beam_table_n_theta=32,
+        corr_window_cells=96, corr_theta_window_bins=16,
+        corr_coarse_factor=4, corr_coarse_n_theta=16,
+    )
+    tables = make_beam_tables(house_map, cfg)
+    pose = jnp.array([1.0, 1.0, 0.4])
+    ranges, angles = _scan_at(house_map, pose)
+    rng = np.random.default_rng(1)
+    # mostly in-window particles plus a few escapees (coarse-field path)
+    parts = jnp.asarray(np.concatenate([
+        np.stack([rng.normal(1.0, 0.3, 240), rng.normal(1.0, 0.3, 240),
+                  rng.normal(0.4, 0.2, 240)], axis=1),
+        np.stack([rng.uniform(-4, 4, 16), rng.uniform(-4, 4, 16),
+                  rng.uniform(-np.pi, np.pi, 16)], axis=1),
+    ]).astype(np.float32))
+    wo = (jnp.int32(170), jnp.int32(170), jnp.int32(4))
+    local = np.asarray(beam_field_scores(
+        parts, ranges, angles, house_map, cfg, tables, 32, wo))
+
+    def sharded(p):
+        return beam_field_scores(
+            p, ranges, angles, house_map, cfg, tables, 32, wo,
+            shard_bins_axis="data")
+
+    f = shard_map(sharded, mesh=mesh, in_specs=P("data"),
+                  out_specs=P("data"), check_rep=False)
+    out = np.asarray(jax.jit(f)(parts))
+    np.testing.assert_allclose(out, local, rtol=1e-5, atol=1e-4)
+
+
+def test_dist_beam_field_tracks(house_map, mesh):
+    """Full distributed filter under sensor_model='beam' (windowed score
+    field, theta-sharded build) tracks the square trajectory."""
+    from tests.test_filter import _simulate, _square_trajectory, _wrap
+
+    poses = _square_trajectory(18)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=512, min_particles=64,
+        max_particles=512, initialized=True,
+        initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        sensor_model="beam", beam_impl="field", beam_table_n_theta=64,
+        corr_window_cells=96, corr_theta_window_bins=16,
+        corr_coarse_factor=0,   # keep the CPU-mesh build small
+    )
+    model = make_dist_model(cfg, house_map, mesh)
+    state = model.init(jax.random.PRNGKey(0))
+    state, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    true = _wrap(poses[-1])
+    err = np.hypot(est[-1, 0] - true[0], est[-1, 1] - true[1])
+    assert err < 0.35, err
+
+
+def test_dist_island_mixing(house_map, mesh):
+    """The ring-migration mixing claim (parallel/distributed.py docstring:
+    inter-island imbalance mixes away in ~D steps), measured directly:
+    7 of 8 islands start with ALL particles in the wrong room (globally
+    near-zero weight); migration + local resampling must spread the good
+    island's mass around the ring until every island localizes."""
+    from mcmh_localization_tpu.models.motion import compute_motion
+
+    true_pose = jnp.array([1.0, -1.0, 0.0])
+    bad_pose = (1.0, 2.4, 0.0)          # free cells in another room
+    ranges, angles = _scan_at(house_map, true_pose)
+    n = 1024
+    cfg = FilterConfig(
+        mode="MCL", num_particles=n, min_particles=128, max_particles=n,
+        initialized=True, initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+    )
+    model = make_dist_model(cfg, house_map, mesh, migration_fraction=0.125)
+    state = model.init(jax.random.PRNGKey(0))
+    nl = n // 8
+    rng = np.random.default_rng(2)
+
+    def blob(center, k):
+        return np.stack([
+            rng.normal(center[0], 0.08, k), rng.normal(center[1], 0.08, k),
+            rng.normal(center[2], 0.05, k)], axis=1).astype(np.float32)
+
+    parts = np.concatenate([blob((1.0, -1.0, 0.0), nl)]
+                           + [blob(bad_pose, nl) for _ in range(7)])
+    state = state.replace(
+        particles=jax.device_put(
+            jnp.asarray(parts), state.particles.sharding
+        )
+    )
+    delta = jnp.zeros(3)
+
+    def good_frac_per_island(particles):
+        p = np.asarray(particles).reshape(8, nl, 3)
+        d = np.hypot(p[:, :, 0] - 1.0, p[:, :, 1] + 1.0)
+        return (d < 0.5).mean(axis=1)
+
+    assert good_frac_per_island(state.particles)[1:].max() == 0.0
+    fracs = []
+    for _ in range(12):
+        state, info = model.step(state, ranges, angles, delta)
+        fracs.append(good_frac_per_island(state.particles))
+    fracs = np.asarray(fracs)
+    # mixing spreads around the ring: after 3 steps the NEXT islands hold
+    # good mass, after 12 (~D + resampling amplification) every island is
+    # majority-localized and the global estimate is at the true pose
+    assert fracs[2, 1] > 0.2, fracs[2]
+    assert (fracs[-1] > 0.6).all(), fracs[-1]
+    est = np.asarray(info.estimate.mean)
+    assert np.hypot(est[0] - 1.0, est[1] + 1.0) < 0.3, est
+
+
 def test_dist_theta_window_nondivisible_falls_back(house_map, mesh):
     """corr_theta_window_bins not divisible by the device count must fall
     back to an unsharded field build (round-2 review: the old guard checked
