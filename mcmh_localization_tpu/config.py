@@ -142,6 +142,13 @@ class FilterConfig:
     # the proper MH ratio, which measurably lags during motion because
     # rejected particles keep their pre-motion pose (see tests/test_filter).
     ref_compat_assym_guard: bool = True
+    # kld_sampling_amcl evaluates the chi^2 stopping bound ONLY on samples
+    # that open a new bin (parallel_utils.py:577-586); once a converged
+    # cloud's bins are all open before min_particles the stop never fires
+    # and every resample walks all max_samples draws.  Default False uses
+    # the textbook every-sample rule (ROS amcl pf.c); True reproduces the
+    # reference quirk.  See ops/resampling.py::kld_resample(stop_rule=...).
+    ref_compat_kld_newbin_stop: bool = False
 
     # --- sensor model selection ---
     # "likelihood_field" is the reference's live path (compute_likelihoods);

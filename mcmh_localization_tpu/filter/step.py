@@ -327,6 +327,10 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
         z=config.kld_z,
         count=n_resampled,
         eval_window=config.kld_eval_window,
+        stop_rule=(
+            "new_bin" if config.ref_compat_kld_newbin_stop
+            else "every_sample"
+        ),
     )
     n_kept = jnp.minimum(n_kept, n_resampled)
 

@@ -308,6 +308,7 @@ def kld_resample(
     z: float,
     count: jnp.ndarray | None = None,
     eval_window: int = 0,
+    stop_rule: str = "every_sample",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KLD-adaptive resampling (Fox 2003) with static shapes.
 
@@ -316,6 +317,19 @@ def kld_resample(
     the Wilson-Hilferty stopping rule "stop once the stored sample count
     exceeds chi2_bound(k)/(2 eps)" with k the number of occupied bins seen so
     far (including the bin the stopping sample would open).
+
+    ``stop_rule``: the reference evaluates the bound ONLY on samples that
+    open a new bin (parallel_utils.py:577-586) — a converged cloud whose
+    ~10^2 bins are all open well before ``min_particles`` then never
+    triggers the stop and the walk degenerates to all ``max_samples``
+    draws (measured live at 1M/min=100k: 160 bins, last new bin at
+    m=96k, stop never fires).  The default ``"every_sample"`` applies the
+    textbook rule (ROS amcl pf.c likewise): stop at the first m with
+    k > 1, m >= min_particles and m > chi2_bound(k(m)) regardless of
+    whether sample m opens a bin — identical whenever the reference rule
+    stops at a new-bin sample past both bounds, and exact (not one-sided)
+    always.  ``"new_bin"`` reproduces the reference quirk
+    (config.ref_compat_kld_newbin_stop).
 
     Returns (samples (max_samples, 3), n_kept scalar int32): entries at
     index >= n_kept are drawn but statistically discarded (mask them).
@@ -347,6 +361,8 @@ def kld_resample(
     Samples at index >= n_kept are implementation-defined (the stage-1
     branch zero-pads them); callers mask by n_kept.
     """
+    if stop_rule not in ("every_sample", "new_bin"):
+        raise ValueError(f"unknown stop_rule {stop_rule!r}")
     k_idx, k_noise, k_noise_tail = jax.random.split(key, 3)
     noise_std = jnp.asarray(KLD_NOISE_STD, dtype=particles.dtype)
 
@@ -380,13 +396,14 @@ def kld_resample(
             else k_bins.astype(jnp.float32)
         )
         m = jnp.arange(sub.shape[0])
-        # stopping test evaluated when sample m would open a new bin, with
-        # m samples already stored (reference: `count` samples stored,
-        # breaks before storing)
+        # stopping test with m samples already stored (reference: `count`
+        # samples stored, breaks before storing); under the reference
+        # "new_bin" quirk it is additionally gated on sample m opening a
+        # new bin
         required = _kld_chi2_bound(k_f, epsilon, z)
-        stop_here = (
-            new_bin & (k_bins > 1) & (m >= min_particles) & (m > required)
-        )
+        stop_here = (k_bins > 1) & (m >= min_particles) & (m > required)
+        if stop_rule == "new_bin":
+            stop_here = new_bin & stop_here
         return jnp.any(stop_here), jnp.argmax(stop_here).astype(jnp.int32)
 
     if min_particles >= max_samples:
@@ -410,12 +427,22 @@ def kld_resample(
     if w1 < max_samples:
         samples1 = _draw(w1, k_noise)  # == full sequence rows [0, w1)
         a1, f1 = _first_stop(samples1)
+        pad = jnp.zeros((max_samples - w1, 3), samples1.dtype)
 
-        def _stage1(_):
-            pad = jnp.zeros((max_samples - w1, 3), samples1.dtype)
-            return jnp.concatenate([samples1, pad]), f1
+        # The escalation MUST be a while_loop, not lax.cond: XLA executes
+        # both sides of a big data-flow conditional here (measured: the
+        # untaken full branch cost its full +15 ms/step at 1M inside the
+        # jitted filter — scripts/microbench17.py v0 22.4 vs v2 7.1
+        # ms/scan with a dummy branch).  A while body is real control flow
+        # and cannot be speculated, so steady-state steps (stage-1 stop
+        # fires) never pay the full-size expand/jitter/hash; the body runs
+        # at most once (`done` flips after one iteration).
+        def _cond(carry):
+            done, _, _ = carry
+            return jnp.logical_not(done)
 
-        def _full(_):
+        def _body(carry):
+            _, _, _ = carry
             drawn = systematic_resample_particles(
                 k_idx, particles, weights, max_samples,
                 count=count if count is not None else jnp.int32(max_samples),
@@ -430,9 +457,12 @@ def kld_resample(
             # realized sequence instead of redrawing it)
             samples = jnp.concatenate([samples1, drawn[w1:] + tail])
             a2, f2 = _first_stop(samples)
-            return samples, jnp.where(a2, f2, max_samples).astype(jnp.int32)
+            n2 = jnp.where(a2, f2, max_samples).astype(jnp.int32)
+            return jnp.bool_(True), samples, n2
 
-        return jax.lax.cond(a1, _stage1, _full, operand=None)
+        init = (a1, jnp.concatenate([samples1, pad]), f1)
+        _, samples, n_kept = jax.lax.while_loop(_cond, _body, init)
+        return samples, n_kept
 
     samples = _draw(max_samples, k_noise)
     any_stop, first_stop = _first_stop(samples)

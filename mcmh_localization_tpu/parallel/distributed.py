@@ -451,6 +451,10 @@ def _dist_step(
                         max(config.min_particles // n_dev, 1) + 1)
                     if config.kld_eval_window else 0
                 ),
+                stop_rule=(
+                    "new_bin" if config.ref_compat_kld_newbin_stop
+                    else "every_sample"
+                ),
             )
             n_kept = jnp.minimum(n_kept, count_l - n_random_l)
             # all shards adopt the max island count (conservative: never

@@ -337,6 +337,46 @@ def _wrap_arr(a):
     return (np.asarray(a) + np.pi) % (2 * np.pi) - np.pi
 
 
+def test_global_localization_cluster_windowed(house_map):
+    """Uniform-init global localization under the WINDOWED flagship config,
+    judged on the published CLUSTER estimate (round-2 verdict #9: the
+    multimodal phase must not be judged by the weighted mean's
+    meters-high average; the estimate itself must converge).  The window
+    centers on the (initially meaningless) cloud mean, so early scoring
+    runs almost entirely through the coarse fallback field; as the true
+    mode wins, the window migrates onto it and fine scoring takes over.
+    Records time-to-localize (first step whose cluster estimate stays
+    within 0.5 m through the end).  Reference estimate being improved on:
+    amcmh_localizer.py:584-597 (weighted mean only)."""
+    from tests.test_filter import _simulate, _square_trajectory
+
+    poses = np.asarray([_wrap_arr(p) for p in _square_trajectory(48)])
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=4000, min_particles=500,
+        max_particles=4000, initialized=False, max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        corr_coarse_factor=4, corr_coarse_n_theta=36,
+        estimate_mode="cluster",
+        alpha1=0.02, alpha2=0.02, alpha3=0.05, alpha4=0.01,
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(7))
+    _, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    ok = errs < 0.5
+    # time-to-localize: first index from which the estimate never leaves
+    # the 0.5 m ball (np.argmin on the reversed cumulative AND)
+    stays = np.logical_and.accumulate(ok[::-1])[::-1]
+    assert stays.any(), f"never localized; tail errors {errs[-8:]}"
+    t_loc = int(np.argmax(stays))
+    assert t_loc <= len(poses) - 8, (t_loc, errs[-8:])
+    assert np.mean(errs[-6:]) < 0.35, errs[-6:]
+    print(f"[global-loc] time-to-localize: {t_loc} steps, "
+          f"final err {errs[-1]:.3f} m")
+
+
 def test_corr_theta_window_matches_full(house_map, default_config):
     # particles with headings inside the theta window score exactly as the
     # full-theta windowed build; a heading outside it falls to the coarse

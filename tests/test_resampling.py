@@ -100,21 +100,25 @@ def test_first_occurrence():
     assert out.tolist() == [True, True, False, True, False, True, True]
 
 
-def _golden_kld_count(samples, bin_xy, bin_t, eps, z, max_samples, min_particles):
-    """Python-set mirror of the reference stopping rule on given jittered
-    samples (parallel_utils.py:556-591)."""
+def _golden_kld_count(samples, bin_xy, bin_t, eps, z, max_samples,
+                      min_particles, rule="every_sample"):
+    """Python-set mirror of the KLD stopping walk on given jittered samples.
+    ``rule="new_bin"`` reproduces the reference's quirk of checking the
+    bound only on new-bin samples (parallel_utils.py:556-591); the default
+    checks every sample (the shipped semantics)."""
     bins = set()
     count = 0
     while count < max_samples:
         p = samples[count]
         b = (int(p[0] / bin_xy), int(p[1] / bin_xy), int(p[2] / bin_t))
-        if b not in bins:
+        new = b not in bins
+        if new:
             bins.add(b)
-            k = len(bins)
-            if k > 1 and count >= min_particles:
-                chi2 = (k - 1) * (1 - 2 / (9 * (k - 1)) + np.sqrt(2 / (9 * (k - 1))) * z) ** 3
-                if count > chi2 / (2 * eps):
-                    break
+        k = len(bins)
+        if (new or rule == "every_sample") and k > 1 and count >= min_particles:
+            chi2 = (k - 1) * (1 - 2 / (9 * (k - 1)) + np.sqrt(2 / (9 * (k - 1))) * z) ** 3
+            if count > chi2 / (2 * eps):
+                break
         count += 1
     return count
 
@@ -128,18 +132,20 @@ def test_kld_stopping_matches_golden():
         rng.normal(scale=[1.0, 1.0, 0.4], size=(n, 3)).astype(np.float32)
     )
     weights = jnp.full(n, 1.0 / n)
-    for eps, expect_early in ((0.3, True), (0.5, True), (0.05, False)):
-        samples, n_kept = kld_resample(
-            jax.random.PRNGKey(5), particles, weights,
-            max_samples=n, min_particles=20,
-            bin_size_xy=0.5, bin_size_theta=0.3, epsilon=eps, z=2.0,
-        )
-        golden = _golden_kld_count(
-            np.asarray(samples), 0.5, 0.3, eps, 2.0, n, 20
-        )
-        assert int(n_kept) == golden, (eps, int(n_kept), golden)
-        if expect_early:
-            assert 20 <= int(n_kept) < n
+    for rule in ("every_sample", "new_bin"):
+        for eps, expect_early in ((0.3, True), (0.5, True), (0.05, False)):
+            samples, n_kept = kld_resample(
+                jax.random.PRNGKey(5), particles, weights,
+                max_samples=n, min_particles=20,
+                bin_size_xy=0.5, bin_size_theta=0.3, epsilon=eps, z=2.0,
+                stop_rule=rule,
+            )
+            golden = _golden_kld_count(
+                np.asarray(samples), 0.5, 0.3, eps, 2.0, n, 20, rule=rule
+            )
+            assert int(n_kept) == golden, (rule, eps, int(n_kept), golden)
+            if expect_early:
+                assert 20 <= int(n_kept) < n
 
 
 def test_kld_spread_runs_to_max():
@@ -165,8 +171,10 @@ def test_kld_spread_runs_to_max():
 
 def test_kld_concentrated_stops_at_min():
     # all particles in one bin -> k=1 forever -> never triggers the k>1
-    # stopping rule -> runs to max_samples (reference behavior)
-    particles = jnp.tile(jnp.array([[1.0, 1.0, 0.0]]), (200, 1))
+    # stopping rule -> runs to max_samples (both stop rules agree).  The
+    # pose sits at bin centers: on an edge (e.g. 1.0/0.5) the 1mm jitter
+    # would straddle two bins and k>1 would fire the every-sample stop.
+    particles = jnp.tile(jnp.array([[0.7, 0.7, 0.2]]), (200, 1))
     weights = jnp.full(200, 1.0 / 200)
     _, n_kept = kld_resample(
         jax.random.PRNGKey(6), particles, weights,
@@ -174,6 +182,29 @@ def test_kld_concentrated_stops_at_min():
         bin_size_xy=0.5, bin_size_theta=0.5, epsilon=0.05, z=2.0,
     )
     assert int(n_kept) == 200
+
+
+def test_kld_stop_rule_saturated_bins():
+    """Converged cloud whose few bins are all open long before
+    min_particles: the reference new-bin rule never stops again (walks to
+    max_samples) while the default every-sample rule stops right at
+    min_particles — the live 1M/min=100k degenerate regime diagnosed in
+    scripts/microbench18.py (160 bins, last new bin at m=96k)."""
+    rng = np.random.default_rng(8)
+    n = 8192
+    particles = jnp.asarray(
+        (np.array([0.5, 0.5, 0.0])
+         + rng.normal(size=(n, 3)) * np.array([0.05, 0.05, 0.02]))
+        .astype(np.float32)
+    )
+    w = jnp.full((n,), 1.0 / n, jnp.float32)
+    kw = dict(max_samples=n, min_particles=4096, bin_size_xy=0.5,
+              bin_size_theta=0.3, epsilon=0.3, z=2.0)
+    _, k_ref = kld_resample(jax.random.PRNGKey(9), particles, w,
+                            stop_rule="new_bin", **kw)
+    _, k_def = kld_resample(jax.random.PRNGKey(9), particles, w, **kw)
+    assert int(k_ref) == n, int(k_ref)       # quirk: stop never fires
+    assert int(k_def) == 4096, int(k_def)    # textbook: stops at min
 
 
 def test_kld_bound_monotone():
