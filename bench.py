@@ -233,10 +233,24 @@ def main():
     # windowed per-scan SCORE-FIELD path (models/range_table.py::
     # beam_field_scores); the range-table build is a once-per-map precompute
     # outside the timed step
+    # Operating point (measured on v5e, scripts/microbench19-21):
+    # * 120-bin range table = 3 deg ray-heading quantization — EXACTLY the
+    #   corr flagship's quantization class (corr_n_theta=120); the LUT
+    #   build kernel is VPU-bound on its one-hot (kp x nq x cells compare
+    #   elements), so table bins price in linearly (360 -> 120 saved
+    #   ~0.6 ms/scan).  All 360 BEAMS are still scored.
+    # * theta window 24 bins (+-36 deg): the circle trajectory turns
+    #   22.5 deg/scan, so the two MH sets' mean headings sit +-11.25 deg
+    #   off the pooled window center; +-16 deg left ~7% of particles
+    #   outside the window every scan, forcing the coarse-fallback build
+    #   that coarse_gate_escapees exists to skip.
+    # * win 96 (4.8 m), coarse bins 30 (120 % 30 == 0 keeps the rolled
+    #   circulant S build on the gated coarse path too).
     ms_beam = run_config(
         100_000, sensor_model="beam", beam_impl="field",
-        beam_table_n_theta=N_BEAMS,
-        corr_window_cells=128, corr_theta_window_bins=32,
+        beam_table_n_theta=120,
+        corr_window_cells=96, corr_theta_window_bins=24,
+        corr_coarse_n_theta=30,
         motion_validity="score", min_injection_prob=0.02,
     )
     _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_field",

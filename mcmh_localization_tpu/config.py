@@ -221,6 +221,26 @@ class FilterConfig:
     # smoothed but honest score so injected particles can win.
     corr_coarse_factor: int = 4
     corr_coarse_n_theta: int = 36
+    # motion proposal noise bit generator: "threefry" (jax default) or
+    # "rbg" (XLA RngBitGenerator; models/motion.py::fast_normal).
+    # Standalone, threefry normals cost 0.37 ms/scan at 100k particles —
+    # but switching the LIVE filter to rbg measured NO step-time change
+    # on v5e (XLA overlaps the bit generation with neighboring work), and
+    # rbg draws differ between vmapped and unbatched execution (breaking
+    # batched-vs-individual bitwise equivalence, tests/test_batched.py).
+    # Default stays threefry; the flag remains for future hardware where
+    # the overlap no longer hides it.
+    motion_rng: str = "threefry"
+    # minimum in-map window-escapee count that triggers the coarse
+    # fallback FIELD build on a given scan (TPU beam path; the fused
+    # escapee lookup itself is never gated).  In steady-state tracking the
+    # only escapees are a handful of ~4-sigma proposal-noise tails; below
+    # the gate they take BLIND_SCORE (the no-fallback semantics — they
+    # die, as tails should) and the ~1 ms/scan build is skipped.  Kidnap /
+    # injection-storm / global phases put hundreds of particles outside
+    # the window, fire the gate, and recover exactly as ungated.  Set to 1
+    # to build whenever any particle escapes.
+    coarse_gate_escapees: int = 8
     # field dtype: float32 (default) or bfloat16 (halves field memory;
     # ~0.5% score noise from bf16 accumulation over beams; currently uses
     # the XLA field builder — Mosaic rejects bf16 dynamic rotates)
@@ -277,6 +297,10 @@ class FilterConfig:
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")
+        if self.coarse_gate_escapees < 1:
+            raise ValueError("coarse_gate_escapees must be >= 1")
+        if self.motion_rng not in ("rbg", "threefry"):
+            raise ValueError(f"unknown motion_rng {self.motion_rng!r}")
         if self.motion_validity not in ("reject", "score"):
             raise ValueError(f"unknown motion_validity {self.motion_validity!r}")
         if self.beam_impl not in ("auto", "dense", "table", "field"):

@@ -80,7 +80,7 @@ def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterCon
     retries = 0 if config.motion_validity == "score" else config.motion_retries
     proposed = sample_motion(
         sub, state.particles, delta, config.alpha, grid_map,
-        retries=retries,
+        retries=retries, rng_impl=config.motion_rng,
     )
     # keep BOTH sets for MH (amcmh_localizer.py:404-405)
     return state.replace(
@@ -216,7 +216,21 @@ def _window_origin(
     the active particle cloud's mean position; with a theta window
     configured, also the starting global theta-bin (circular-mean heading
     minus half the window).  ``n_theta`` overrides the bin count (the beam
-    score field uses beam_table_n_theta bins; default corr_n_theta)."""
+    score field uses beam_table_n_theta bins; default corr_n_theta).
+
+    Under MH the SAME window scores BOTH sets (current + prev).  The
+    THETA center is therefore the pooled circular mean over both sets: a
+    fast-turning robot separates the sets' mean headings by rot1+rot2
+    per scan, and a theta window centered on the current set alone can
+    push the ENTIRE prev set outside a narrow window (measured on the
+    beam bench config — 360-bin table, 32-bin window = +-16 deg,
+    22.5 deg/scan turn: ~50% of scored particles coarse-scored every
+    scan).  The SPATIAL center deliberately stays on the current set:
+    the sets are at most one translation step apart (~1 cell), and
+    during kidnapped-robot recovery the window must migrate with the
+    winning injected mode — pooling positions with the stale prev set
+    was measured to stall that migration (late re-localization spikes in
+    tests/test_corr_field.py::test_kidnapped_recovery_windowed)."""
     mask = state.active_mask
     n = jnp.maximum(jnp.sum(mask), 1)
     mean_x = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
@@ -226,8 +240,16 @@ def _window_origin(
     ox0 = ((mean_x - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
     oy0 = ((mean_y - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
     if config.corr_theta_window_bins:
-        c = jnp.sum(jnp.where(mask, jnp.cos(state.particles[:, 2]), 0.0))
-        s = jnp.sum(jnp.where(mask, jnp.sin(state.particles[:, 2]), 0.0))
+        sets = (
+            (state.particles, state.prev_particles) if config.use_mh
+            else (state.particles,)
+        )
+        c = sum(
+            jnp.sum(jnp.where(mask, jnp.cos(p[:, 2]), 0.0)) for p in sets
+        )
+        s = sum(
+            jnp.sum(jnp.where(mask, jnp.sin(p[:, 2]), 0.0)) for p in sets
+        )
         mean_t = jnp.arctan2(s, c)
         k = n_theta if n_theta is not None else config.corr_n_theta
         kmid = (

@@ -124,15 +124,15 @@ def _build_field_conv(region, ox, oy, valid, ksize, fh, fw):
     return out[:, :fh, :fw]
 
 
-def _coarse_field_indices(
-    px, py, pth, u, v, valid, log_field, grid_map, config, res
-):
-    """Coarse full-map fallback field + per-particle lookup indices.
+def _coarse_field(u, v, valid, log_field, grid_map, config, res):
+    """Coarse full-map fallback FIELD, (kc, hc, wc).
 
-    Returns ``(field (kc, hc, wc), tbin, my, mx)`` — the gather itself is
-    merged with the fine-field lookup into ONE kernel pass by the caller
-    (ops/gather_pallas.py::gather_2d_select), halving the per-particle
-    lookup traffic vs gathering both fields separately.
+    The gather is merged with the fine-field lookup into ONE kernel pass
+    by the caller (ops/gather_pallas.py::gather_2d_select), halving the
+    per-particle lookup traffic vs gathering both fields separately; the
+    per-particle indices live in ``_coarse_indices`` so the caller can
+    gate THIS build behind an escapee-count predicate (~0.3 ms/scan DFT
+    build skipped in steady-state tracking).
 
     Gives out-of-window (but in-map) particles an honest smoothed score so
     augmented-MCL injection can recover a kidnapped robot while the fine
@@ -174,12 +174,6 @@ def _coarse_field_indices(
         padded = jnp.pad(padded, ((0, hc), (0, 0)))
         field = _build_field_xla(padded, ox, oy, hc, wc)
 
-    mx = ((px - grid_map.origin[0]) / res_c).astype(jnp.int32)
-    my = ((py - grid_map.origin[1]) / res_c).astype(jnp.int32)
-    tbin = (
-        ((pth + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)
-        % kc
-    )
     if config.motion_validity == "score":
         # blocks with NO free cell get the invalid-pose penalty; blocks with
         # any free cell stay optimistic, consistent with the max-pooling
@@ -193,10 +187,25 @@ def _coarse_field_indices(
         field = field + (INVALID_SCORE * jnp.maximum(count, 1.0)) * jnp.where(
             any_free, 0.0, 1.0
         )[None]
+    return field.astype(jnp.float32)
 
-    mx = jnp.clip(mx, 0, wc - 1)
-    my = jnp.clip(my, 0, hc - 1)
-    return field.astype(jnp.float32), tbin, my, mx
+
+def _coarse_indices(px, py, pth, grid_map, config, res):
+    """Per-particle (theta-bin, row, col) indices into the coarse field —
+    cheap per-particle math kept OUTSIDE the gated field build so the
+    fused select-gather always has a valid index set."""
+    f = config.corr_coarse_factor
+    kc = config.corr_coarse_n_theta
+    h, w = grid_map.occupancy.shape
+    hc, wc = -(-h // f), -(-w // f)
+    res_c = f * res
+    mx = ((px - grid_map.origin[0]) / res_c).astype(jnp.int32)
+    my = ((py - grid_map.origin[1]) / res_c).astype(jnp.int32)
+    tbin = (
+        ((pth + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)
+        % kc
+    )
+    return tbin, jnp.clip(my, 0, hc - 1), jnp.clip(mx, 0, wc - 1)
 
 
 def _build_field_dft(region, ox, oy, valid, fh, fw):
@@ -509,19 +518,49 @@ def correlation_field_scores(
     use_coarse = use_window and config.corr_coarse_factor > 0
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback lookup for the
-        # rest — ONE fused gather pass over both fields stacked.  On TPU
-        # this runs UNCONDITIONALLY: gating it behind lax.cond on "any
-        # escapee exists" was tried and is net-negative there (the cond
-        # operands — field, rows, coarse inputs — materialize at the
-        # branch boundary and XLA loses fusion: ~4 ms at 2M vs ~1 ms of
-        # coarse work saved, v5e).  Off-TPU the fusion argument does not
-        # apply and the coarse build is a slow lax.map of dynamic slices,
-        # so the runtime gate stays.
-        def _with_coarse(_):
-            cfield, ck, cy, cx = _coarse_field_indices(
-                px, py, pth, u, v, valid, log_field, grid_map, config, res
+        # rest — ONE fused gather pass over both fields stacked (always:
+        # gating the WHOLE coarse path behind lax.cond was measured
+        # net-negative — the cond operands materialize at the branch
+        # boundary and XLA loses fusion, ~4 ms at 2M vs ~1 ms saved, v5e).
+        # Only the coarse FIELD build is gated, on the escapee count, via
+        # a 0-or-1-iteration while_loop (lax.cond is SPECULATED by XLA —
+        # both sides execute; see ops/resampling.py::kld_resample and the
+        # beam twin in models/range_table.py): in steady-state tracking
+        # the only escapees are proposal-noise tails below
+        # config.coarse_gate_escapees, which take BLIND_SCORE (the
+        # no-fallback semantics) while the ~0.3 ms DFT build is skipped.
+        f_c = config.corr_coarse_factor
+        kc = config.corr_coarse_n_theta
+        hmap, wmap = log_field.shape
+        hc, wc = -(-hmap // f_c), -(-wmap // f_c)
+        ck, cy, cx = _coarse_indices(px, py, pth, grid_map, config, res)
+
+        def _build_coarse(_):
+            return _coarse_field(u, v, valid, log_field, grid_map, config,
+                                 res)
+
+        def _blind_fill(_):
+            fill = BLIND_SCORE * (
+                jnp.maximum(count, 1).astype(jnp.float32)
+                if config.score_aggregation == "mean" else jnp.float32(1.0)
             )
-            kc, hc, wc = cfield.shape
+            return jnp.broadcast_to(fill, (kc, hc, wc)).astype(jnp.float32)
+
+        n_esc = jnp.sum(in_map & ~covered)
+
+        def _wcond(carry):
+            done, _ = carry
+            return jnp.logical_not(done)
+
+        def _wbody(carry):
+            return jnp.bool_(True), _build_coarse(None)
+
+        _, cfield = jax.lax.while_loop(
+            _wcond, _wbody,
+            (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
+        )
+
+        def _with_coarse(_):
             cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
             t = gather_2d_select(
                 field_t, rows_fine_y, mxc,
@@ -533,6 +572,8 @@ def correlation_field_scores(
         if jax.default_backend() == "tpu":
             totals = _with_coarse(None)
         else:
+            # off-TPU, skip even the fused select-gather when nothing
+            # escaped (interpret-mode kernels are slow in tests)
             def _fine_only(_):
                 # no escapees on this branch: covered == scoreable
                 t = gather_2d(field_t, rows_fine_y, mxc, precision=prec)

@@ -84,6 +84,35 @@ def _noise_stds(delta, alpha):
     return s_rot1, s_trans, s_rot2
 
 
+def fast_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Standard normals via the XLA RngBitGenerator ("rbg") instead of
+    threefry.
+
+    Threefry bit generation dominates the whole predict phase at scale
+    (0.37 ms for 300k normals at 100k particles on v5e — scripts/
+    microbench13.py — scaling to ~2.6 ms at 1M); rbg generates bits in
+    hardware-friendly fashion at a small fraction of that.  The rbg key
+    is derived DETERMINISTICALLY from the caller's threefry key data, so
+    filter determinism (same seed -> same run, checkpoint/replay
+    bit-exactness) is fully preserved — only the realized noise sequence
+    differs from the threefry one, which nothing golden-pins (proposal
+    noise is statistical by nature).  jax upstream documents rbg as
+    usable wherever exact threefry sequence identity is not required."""
+    kd = jnp.asarray(key)
+    if kd.dtype != jnp.uint32:                 # typed key -> raw data
+        kd = jax.random.key_data(key)
+    rbg = jax.random.wrap_key_data(
+        jnp.tile(kd.reshape(-1)[:2], 2), impl="rbg"
+    )
+    return jax.random.normal(rbg, shape, dtype=dtype)
+
+
+def _noise(key, shape, dtype, impl: str):
+    if impl == "rbg":
+        return fast_normal(key, shape, dtype)
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
 def sample_motion(
     key: jax.Array,
     particles: jnp.ndarray,
@@ -91,6 +120,7 @@ def sample_motion(
     alpha: Tuple[float, float, float, float],
     grid_map,
     retries: int = 8,
+    rng_impl: str = "rbg",
 ) -> jnp.ndarray:
     """Propagate all particles through the noisy odometry motion model.
 
@@ -107,7 +137,7 @@ def sample_motion(
     s_rot1, s_trans, s_rot2 = _noise_stds(delta, alpha)
 
     if retries == 0:
-        eps = jax.random.normal(key, (n, 3), dtype=particles.dtype)
+        eps = _noise(key, (n, 3), particles.dtype, rng_impl)
         r1_hat = delta[0] + eps[:, 0] * s_rot1
         t_hat = delta[1] + eps[:, 1] * s_trans
         r2_hat = delta[2] + eps[:, 2] * s_rot2
@@ -121,7 +151,7 @@ def sample_motion(
             axis=-1,
         )
 
-    eps = jax.random.normal(key, (retries, n, 3), dtype=particles.dtype)
+    eps = _noise(key, (retries, n, 3), particles.dtype, rng_impl)
     r1_hat = delta[0] + eps[..., 0] * s_rot1  # (R, N)
     t_hat = delta[1] + eps[..., 1] * s_trans
     r2_hat = delta[2] + eps[..., 2] * s_rot2

@@ -233,7 +233,12 @@ def _beam_lut(safe_r, valid, dvals, config: FilterConfig) -> jnp.ndarray:
 def _bin_lut_matrix(g, lp, n_theta):
     """S[k, g, q] = sum_{j: g[k, j] = g} lp[j, q] via a one-hot einsum
     (nbins x M updates as a scatter serialize on TPU; this is one small
-    MXU matmul).  f32-exact (HIGHEST precision; the array is tiny)."""
+    MXU matmul).  f32-exact (HIGHEST precision; the array is tiny).
+
+    Fallback only: when the field-bin centers sit at integer-plus-half
+    multiples of the TABLE bin width the matrix is exactly circulant and
+    ``_rolled_bin_lut_matrix`` builds it ~10x cheaper (the (B, M, K)
+    one-hot einsum here measured ~0.5 ms/scan at B=32, M=K=360 on v5e)."""
     bg = (g[:, :, None] == jnp.arange(n_theta, dtype=jnp.int32)[None, None, :])
     return jnp.einsum(
         "kjg,jq->kgq", bg.astype(jnp.float32), lp,
@@ -241,17 +246,55 @@ def _bin_lut_matrix(g, lp, n_theta):
     )
 
 
-def _beam_coarse_field_indices(
-    px, py, pth, lp, count, angles, grid_map, tables: BeamTables,
-    config: FilterConfig, n_theta: int, res, prec, interpret,
+def _rolled_bin_lut_matrix(lp, angles, n_theta, starts, use_half):
+    """S[b, g, q] = T[(g - starts[b]) % K, q] — the EXACT circulant
+    structure of the bin-sum matrix.
+
+    The table bin of beam j evaluated at field-bin center b is
+    ``(s_b + d_j) mod K`` with a PER-BEAM offset d_j independent of b:
+    for fine window bins (centers at (kstart + b + 0.5) * dtheta - pi),
+    ``d_j = floor(0.5 + a_j / dtheta)`` and ``s_b = kstart + b``; for
+    coarse bins with an integer width ratio r = K / kc,
+    ``d_j = floor(a_j / dtheta + (0.5 if r odd))`` and
+    ``s_b = r*b + floor(r / 2 or (r-1)/2)`` (callers pass the matching
+    ``starts``/``use_half``).  So S collapses to ONE tiny (M -> K)
+    offset-bin einsum building T[d, q] = sum_{j: d_j = d} lp[j, q],
+    followed by B rolled slices of concat(T, T) — pure data movement.
+    Bit-identical to ``_bin_lut_matrix`` (integer bin arithmetic is
+    exact; the einsum contractions sum the same lp rows in the same
+    one-beam-per-bin groups)."""
+    k = n_theta
+    dtheta = 2.0 * jnp.pi / k
+    shift = 0.5 if use_half else 0.0
+    d = jnp.floor(angles / dtheta + shift).astype(jnp.int32) % k   # (M,)
+    oh = d[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+    t = jnp.einsum(
+        "jd,jq->dq", oh.astype(jnp.float32), lp,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tt = jnp.concatenate([t, t], axis=0)
+    nq = t.shape[1]
+    rows = [
+        jax.lax.dynamic_slice(tt, ((k - s % k) % k, 0), (k, nq))
+        for s in starts
+    ]
+    return jnp.stack(rows)
+
+
+def _beam_coarse_field(
+    lp, count, angles, grid_map, tables: BeamTables,
+    config: FilterConfig, n_theta: int, prec, interpret,
     shard_bins_axis: str | None = None,
 ):
-    """Coarse full-map fallback field + per-particle lookup indices for the
-    beam model — the recovery-parity twin of
-    models/corr_field.py::_coarse_field_indices (round-2 verdict: windowed
-    beam escapees BLIND-scored and died, so augmented-MCL injection —
-    amcmh_localizer.py:496-527 — could not recover a kidnapped robot under
-    sensor_model="beam").
+    """Coarse full-map fallback FIELD for the beam model — the
+    recovery-parity twin of models/corr_field.py::_coarse_field_indices
+    (round-2 verdict: windowed beam escapees BLIND-scored and died, so
+    augmented-MCL injection — amcmh_localizer.py:496-527 — could not
+    recover a kidnapped robot under sensor_model="beam").  Split from the
+    per-particle index math (``_beam_coarse_indices``) so the caller can
+    gate THIS build — nearly as expensive as the fine build: same kp x nqp
+    one-hot work over 96^2 coarse cells, ~1.0 ms on v5e — behind an
+    escapee-count predicate while the fused lookup stays unconditional.
 
     The field is evaluated at block-CENTER cells (``tables.qtc`` is the
     f-strided subsample of the quantized table) under a MILDLY optimistic
@@ -288,12 +331,25 @@ def _beam_coarse_field_indices(
         )
 
     dtheta = 2.0 * jnp.pi / n_theta
-    centers_c = (jnp.arange(kc) + 0.5) * (2.0 * jnp.pi / kc) - jnp.pi
-    gc = (
-        jnp.floor((centers_c[:, None] + angles[None, :] + jnp.pi) / dtheta)
-        .astype(jnp.int32) % n_theta
-    )  # (kc, M)
-    sc = _bin_lut_matrix(gc, lpc, n_theta)
+    if n_theta % kc == 0:
+        # integer width ratio r: coarse centers land at r*i + r/2 table
+        # bins, so the circulant construction applies (see
+        # _rolled_bin_lut_matrix; r odd folds the half-bin into d_j)
+        r = n_theta // kc
+        sc = _rolled_bin_lut_matrix(
+            lpc, angles, n_theta,
+            [r * i + (r // 2 if r % 2 == 0 else (r - 1) // 2)
+             for i in range(kc)],
+            use_half=(r % 2 == 1),
+        )
+    else:
+        centers_c = (jnp.arange(kc) + 0.5) * (2.0 * jnp.pi / kc) - jnp.pi
+        gc = (
+            jnp.floor(
+                (centers_c[:, None] + angles[None, :] + jnp.pi) / dtheta
+            ).astype(jnp.int32) % n_theta
+        )  # (kc, M)
+        sc = _bin_lut_matrix(gc, lpc, n_theta)
     cfield = _sharded_bin_stack(
         lambda rows: lut_field(
             qtc.reshape(k_tab, hc * wc), sc[rows], nq, precision=prec,
@@ -315,7 +371,18 @@ def _beam_coarse_field_indices(
         cfield = cfield + (
             INVALID_SCORE * jnp.maximum(count, 1).astype(jnp.float32)
         ) * jnp.where(any_free, 0.0, 1.0)[None]
+    return cfield.astype(jnp.float32)
 
+
+def _beam_coarse_indices(px, py, pth, grid_map, tables: BeamTables,
+                         config: FilterConfig, res):
+    """Per-particle (theta-bin, row, col) lookup indices into the coarse
+    fallback field — cheap per-particle math, always computed so the fused
+    select-gather keeps a valid index set whether or not the coarse FIELD
+    build fired this scan."""
+    f = config.corr_coarse_factor
+    kc = config.corr_coarse_n_theta
+    _, hc, wc = tables.qtc.shape
     res_c = f * res
     cx = jnp.clip(
         ((px - grid_map.origin[0]) / res_c).astype(jnp.int32), 0, wc - 1
@@ -324,7 +391,7 @@ def _beam_coarse_field_indices(
         ((py - grid_map.origin[1]) / res_c).astype(jnp.int32), 0, hc - 1
     )
     ck = (((pth + jnp.pi) * (kc / (2.0 * jnp.pi))).astype(jnp.int32)) % kc
-    return cfield.astype(jnp.float32), ck, cy, cx
+    return ck, cy, cx
 
 
 def beam_field_scores(
@@ -369,7 +436,9 @@ def beam_field_scores(
     (``corr_theta_window_bins``) cuts the build by K/bins.  In-map
     particles escaping the window score via the coarse full-map fallback
     field when ``corr_coarse_factor > 0`` (kidnapped-robot recovery — see
-    ``_beam_coarse_field_indices``), or take BLIND_SCORE when disabled.
+    ``_beam_coarse_field``), or take BLIND_SCORE when disabled.  The
+    coarse build is further gated on ``config.coarse_gate_escapees``
+    in-map escapees on TPU (see the inline comment at the gate).
 
     ``shard_bins_axis``: under shard_map, build only this device's slice
     of the window's theta bins and all_gather the stack (the build is
@@ -422,7 +491,12 @@ def beam_field_scores(
         interpret if interpret is not None
         else jax.default_backend() != "tpu"
     )
+    # gather precision (bf16 hi[+lo] table planes); the LUT field BUILD
+    # always uses the int8 two-plane kernel — measured both faster and
+    # ~100x more accurate than either bf16 mode (exact int32 accumulation;
+    # ops/beam_field_pallas.py)
     prec = "bf16" if config.score_aggregation == "mean" else "split"
+    prec_build = "int8"
 
     _over_bins = functools.partial(_sharded_bin_stack, axis=shard_bins_axis)
 
@@ -434,10 +508,18 @@ def beam_field_scores(
         qw = jax.lax.dynamic_slice(
             tables.qt, (0, oy0, ox0), (k_tab, win, win)
         ).reshape(k_tab, win * win)
-        s_mat = _bin_lut_matrix(g, lp, n_theta)  # (nbins, K, nq)
+        if use_theta_win:
+            # exact circulant construction (~10x cheaper than the einsum)
+            s_mat = _rolled_bin_lut_matrix(
+                lp, angles, n_theta,
+                [kstart + b for b in range(nbins)], use_half=True,
+            )
+        else:
+            s_mat = _bin_lut_matrix(g, lp, n_theta)  # (nbins, K, nq)
         field = _over_bins(
             lambda rows: lut_field(
-                qw, s_mat[rows], nq, precision=prec, interpret=lut_interp
+                qw, s_mat[rows], nq, precision=prec_build,
+                interpret=lut_interp
             ),
             nbins,
         ).reshape(nbins, win, win)
@@ -500,16 +582,66 @@ def beam_field_scores(
 
     if use_coarse:
         # fine lookup for covered particles, coarse-fallback for escapees —
-        # ONE fused gather pass over both fields stacked (the same
-        # unconditional-on-TPU / lax.cond-gated-on-CPU structure as
-        # models/corr_field.py; see the fusion-loss measurement there)
-        def _with_coarse(_):
-            cfield, ck, cy, cx = _beam_coarse_field_indices(
-                px, py, pth, lp, count, angles, grid_map, tables, config,
-                n_theta, res, prec, lut_interp,
-                shard_bins_axis=shard_bins_axis,
+        # ONE fused gather pass over both fields stacked.  The coarse FIELD
+        # build (but never the fused gather) is gated: it costs ~1.0 ms on
+        # v5e — comparable to the fine build — yet in steady-state tracking
+        # the only escapees are a handful of ~4-sigma proposal-noise tails.
+        # Below ``config.coarse_gate_escapees`` in-map escapees the field is
+        # a BLIND_SCORE-equivalent constant (exactly the pre-fallback
+        # semantics for those few particles: they die, as tails should);
+        # at or above the gate — injection storms, kidnaps, global phases —
+        # the real build fires and recovery behaves identically to the
+        # ungated path (tests/test_range_table.py kidnap coverage).  The
+        # cond wraps ONLY the build, so the small (kc, hc, wc) cfield is
+        # the only materialized operand and the N-sized gather stays fused
+        # (gating the WHOLE coarse path was measured net-negative on corr —
+        # models/corr_field.py:511 — precisely because it unfuses the
+        # lookups; gating the build alone keeps that fusion).
+        kc = config.corr_coarse_n_theta
+        _, hc, wc = tables.qtc.shape
+        ck, cy, cx = _beam_coarse_indices(
+            px, py, pth, grid_map, tables, config, res
+        )
+
+        def _build_coarse(_):
+            return _beam_coarse_field(
+                lp, count, angles, grid_map, tables, config, n_theta,
+                prec_build, lut_interp, shard_bins_axis=shard_bins_axis,
             )
-            kc, hc, wc = cfield.shape
+
+        def _blind_fill(_):
+            # constant whose post-aggregation score equals BLIND_SCORE
+            fill = BLIND_SCORE * (
+                jnp.maximum(count, 1).astype(jnp.float32)
+                if config.score_aggregation == "mean" else jnp.float32(1.0)
+            )
+            return jnp.broadcast_to(fill, (kc, hc, wc)).astype(jnp.float32)
+
+        if shard_bins_axis is not None:
+            # never gate under bin sharding: the build contains an
+            # all_gather and per-shard predicates could disagree — one
+            # device entering the collective while another skips deadlocks
+            cfield = _build_coarse(None)
+        else:
+            # 0-or-1-iteration while_loop, NOT lax.cond: XLA speculates
+            # both sides of a data-flow conditional, so a cond here still
+            # paid the full build every scan (measured; the same speculation
+            # bit the KLD escalation — ops/resampling.py::kld_resample)
+            n_esc = jnp.sum(in_map & ~covered)
+
+            def _wcond(carry):
+                done, _ = carry
+                return jnp.logical_not(done)
+
+            def _wbody(carry):
+                return jnp.bool_(True), _build_coarse(None)
+
+            _, cfield = jax.lax.while_loop(
+                _wcond, _wbody,
+                (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
+            )
+
+        def _with_coarse(_):
             cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
             t = gather_2d_select(
                 field_t, rows_fine, cols_fine,
@@ -518,13 +650,11 @@ def beam_field_scores(
             )
             return jnp.where(in_map, t, 0.0)
 
-        # unconditional under bin sharding too: the coarse build then
-        # contains an all_gather, and a per-shard lax.cond predicate could
-        # disagree across shards — one device entering the collective while
-        # another skips it deadlocks the mesh
         if jax.default_backend() == "tpu" or shard_bins_axis is not None:
             totals = _with_coarse(None)
         else:
+            # off-TPU, skip even the fused select-gather when nothing
+            # escaped (interpret-mode kernels are slow in tests)
             def _fine_only(_):
                 t = gather_2d(field_t, rows_fine, cols_fine,
                               precision=prec, interpret=interpret)

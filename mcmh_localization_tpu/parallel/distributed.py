@@ -131,7 +131,10 @@ def estimate_pose_cluster_dist(
 # ---------------------------------------------------------------------------
 
 def _dist_window_origin(particles, mask, count, grid_map, config, axis,
-                        n_theta=None):
+                        n_theta=None, prev_particles=None):
+    """THETA center pooled over BOTH scored sets when ``prev_particles``
+    is given; spatial center on the current set only — same rationale as
+    filter/step.py::_window_origin."""
     n = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis), 1)
     sx = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 0], 0.0)), axis)
     sy = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 1], 0.0)), axis)
@@ -140,10 +143,16 @@ def _dist_window_origin(particles, mask, count, grid_map, config, axis,
     ox0 = ((sx / n - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
     oy0 = ((sy / n - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
     if config.corr_theta_window_bins:
+        sets = (
+            (particles, prev_particles) if prev_particles is not None
+            else (particles,)
+        )
         c = jax.lax.psum(
-            jnp.sum(jnp.where(mask, jnp.cos(particles[:, 2]), 0.0)), axis)
+            sum(jnp.sum(jnp.where(mask, jnp.cos(p[:, 2]), 0.0))
+                for p in sets), axis)
         s = jax.lax.psum(
-            jnp.sum(jnp.where(mask, jnp.sin(particles[:, 2]), 0.0)), axis)
+            sum(jnp.sum(jnp.where(mask, jnp.sin(p[:, 2]), 0.0))
+                for p in sets), axis)
         mean_t = jnp.arctan2(s, c)
         k = n_theta if n_theta is not None else config.corr_n_theta
         kmid = (
@@ -284,7 +293,7 @@ def _dist_step(
     retries = 0 if config.motion_validity == "score" else config.motion_retries
     proposed = sample_motion(
         k_motion_l, state.particles, delta, config.alpha, grid_map,
-        retries=retries,
+        retries=retries, rng_impl=config.motion_rng,
     )
     prev = state.particles
     state = state.replace(
@@ -303,6 +312,7 @@ def _dist_step(
         wo = _dist_window_origin(
             state.particles, mask, state.count, grid_map, config, axis,
             n_theta=config.beam_table_n_theta,
+            prev_particles=state.prev_particles if config.use_mh else None,
         )
     elif (
         config.corr_window_cells
@@ -310,7 +320,8 @@ def _dist_step(
         and config.likelihood_impl in ("auto", "corr")
     ):
         wo = _dist_window_origin(
-            state.particles, mask, state.count, grid_map, config, axis
+            state.particles, mask, state.count, grid_map, config, axis,
+            prev_particles=state.prev_particles if config.use_mh else None,
         )
     else:
         wo = None

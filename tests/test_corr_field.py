@@ -257,7 +257,11 @@ def test_corr_coarse_fallback_scores_out_of_window(house_map, default_config):
     # both must beat the blind -50 (VERDICT round-1 weakness #4)
     pose = jnp.array([1.0, 1.0, 0.4])
     ranges, angles = _scan_at(house_map, pose, m=90)
-    cfg = default_config.replace(corr_window_cells=64)
+    # gate=1: this test scores TWO escapees, below the default build gate
+    # (coarse_gate_escapees=8; gate semantics covered by
+    # tests/test_range_table.py::test_beam_coarse_build_gate)
+    cfg = default_config.replace(corr_window_cells=64,
+                                 coarse_gate_escapees=1)
     # window centered far away from both test particles
     res = 0.05
     ox0 = int((-3.0 - (-4.8)) / res) - 32
@@ -320,6 +324,15 @@ def test_kidnapped_recovery_windowed(house_map):
         likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
         estimate_mode="cluster",
         alpha_slow=0.05, alpha_fast=0.7,
+        # the procedural house is near-symmetric and this scenario's
+        # kidnap target is ambiguous under 5 m scans: which mode wins the
+        # post-recovery competition is path-dependent (a 4.8 m window
+        # cannot cover both modes 4 m apart; the losing mode drains
+        # slowly via coarse-vs-fine score equilibrium).  Pin the
+        # resampling path to the reference stop rule so the validated
+        # trajectory stays deterministic; the every_sample rule has its
+        # own golden/regression tests in tests/test_resampling.py.
+        ref_compat_kld_newbin_stop=True,
     )
     model = make_model(cfg, house_map)
     state = model.init(jax.random.PRNGKey(4))
@@ -395,7 +408,9 @@ def test_corr_theta_window_matches_full(house_map, default_config):
     ox0 = int((1.0 + 4.8) / res) - 48
     oy0 = int((1.0 + 4.8) / res) - 48
     n_theta = 64
-    cfg = default_config.replace(corr_window_cells=96)
+    # gate=1: the flipped-heading check below scores ONE escapee
+    cfg = default_config.replace(corr_window_cells=96,
+                                 coarse_gate_escapees=1)
     full = np.asarray(correlation_field_scores(
         parts, ranges, angles, house_map, cfg, n_theta=n_theta,
         window_origin=(oy0, ox0)))

@@ -297,7 +297,11 @@ def test_beam_coarse_fallback_scores_escapees(box_map):
     cfg = FilterConfig(max_range=2.0, sigma_hit=0.1,
                        beam_table_n_theta=k_bins,
                        corr_window_cells=32, corr_theta_window_bins=6,
-                       corr_coarse_factor=4, corr_coarse_n_theta=8)
+                       corr_coarse_factor=4, corr_coarse_n_theta=8,
+                       # this test scores a SINGLE escapee; the default
+                       # build gate (8) would BLIND it by design — see
+                       # test_beam_coarse_build_gate for gate semantics
+                       coarse_gate_escapees=1)
     table = build_range_table(box_map, k_bins, 2.0)
     dth = 2 * np.pi / k_bins
 
@@ -321,6 +325,45 @@ def test_beam_coarse_fallback_scores_escapees(box_map):
         bad, ranges, angles, box_map, cfg, table, k_bins,
         window_origin=(40, 40, 4)))
     assert s[0] > s_bad[0], (s, s_bad)
+
+
+def test_beam_coarse_build_gate(box_map):
+    """The coarse fallback FIELD build is gated on the in-map escapee
+    count (config.coarse_gate_escapees): below the gate escapees take
+    BLIND_SCORE (the build is skipped — ~1 ms/scan saved in steady-state
+    tracking where the only escapees are proposal-noise tails); at or
+    above it they score via the real coarse field exactly as ungated."""
+    from mcmh_localization_tpu.models.range_table import beam_field_scores
+    from mcmh_localization_tpu.models.sensor import BLIND_SCORE
+
+    k_bins = 16
+    cfg = FilterConfig(max_range=2.0, sigma_hit=0.1,
+                       beam_table_n_theta=k_bins,
+                       corr_window_cells=32, corr_theta_window_bins=6,
+                       corr_coarse_factor=4, corr_coarse_n_theta=8,
+                       coarse_gate_escapees=3)
+    table = build_range_table(box_map, k_bins, 2.0)
+    dth = 2 * np.pi / k_bins
+    angles = jnp.asarray(np.arange(-3, 4) * dth, jnp.float32)
+    wx, wy = box_map.grid_to_world(jnp.int32(10), jnp.int32(10))
+    pose_th = float(-np.pi + 4.5 * dth)
+    ranges = raycast(jnp.asarray([wx, wy]), pose_th + angles, box_map, 2.0)
+    esc_pose = [float(wx), float(wy), pose_th]
+    kw = dict(ranges=ranges, angles=angles, grid_map=box_map, config=cfg,
+              table=table, n_theta=k_bins, window_origin=(40, 40, 4))
+
+    # 1 escapee < gate(3): build skipped, escapee takes BLIND_SCORE
+    s1 = np.asarray(beam_field_scores(
+        jnp.asarray([esc_pose], jnp.float32), **kw))
+    np.testing.assert_allclose(s1[0], BLIND_SCORE, rtol=1e-5)
+
+    # 3 escapees >= gate: real build fires, scores match the gate=1 path
+    esc3 = jnp.asarray([esc_pose] * 3, jnp.float32)
+    s3 = np.asarray(beam_field_scores(esc3, **kw))
+    s3_ungated = np.asarray(beam_field_scores(
+        esc3, **{**kw, "config": cfg.replace(coarse_gate_escapees=1)}))
+    assert s3[0] > BLIND_SCORE
+    np.testing.assert_allclose(s3, s3_ungated, rtol=1e-5)
 
 
 def test_beam_kidnapped_recovery_windowed(house_map):
