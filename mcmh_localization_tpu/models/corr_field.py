@@ -320,6 +320,7 @@ def correlation_field_scores(
     field_impl: str = "auto",  # "auto" | "pallas" | "xla"
     window_origin: tuple | None = None,  # (oy0, ox0) cell coords, traced ok
     shard_bins_axis: str | None = None,  # shard_map axis: theta-sharded build
+    lookup_impl: str = "auto",  # "auto" | "fused" | "select"
 ) -> jnp.ndarray:
     """Per-particle scores via one field lookup each; same normalization and
     blind penalty as the exact scorer (parallel_utils.py:144-147).
@@ -559,6 +560,55 @@ def correlation_field_scores(
             _wcond, _wbody,
             (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
         )
+
+        # fused index-math + select-gather kernel: rows/lanes/masks are
+        # computed from the raw (px, py, pth) columns INSIDE the gather
+        # kernel (ops/fused_score_pallas.py) — the XLA-side index ops
+        # above feed only the coarse-build gate and get DCE'd otherwise
+        from mcmh_localization_tpu.ops.fused_score_pallas import (
+            fused_lookup_supported,
+            fused_window_score_gather,
+        )
+
+        if lookup_impl == "auto":
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and fused_lookup_supported(fh, nbins, fw, hc, kc, wc, prec)
+            )
+        else:
+            use_fused = lookup_impl == "fused"
+        if use_fused:
+            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+            denom = (
+                jnp.float32(1.0) if config.score_aggregation == "sum"
+                else jnp.maximum(count, 1).astype(jnp.float32)
+            )
+            if score_validity:
+                fill = (
+                    INVALID_SCORE
+                    * jnp.maximum(count, 1).astype(jnp.float32)
+                    if config.score_aggregation == "sum"
+                    else jnp.float32(INVALID_SCORE)
+                )
+            else:
+                fill = jnp.float32(0.0)
+            score = fused_window_score_gather(
+                field_t, cfield_t, px, py, pth,
+                grid_map.origin[0], grid_map.origin[1], inv_res,
+                ox0, oy0,
+                kstart if use_theta_win else jnp.int32(0),
+                denom, fill,
+                n_theta=n_theta, nbins=nbins, fh=fh, fw=fw,
+                h=h, w=w, kc=kc, hc=hc, wc=wc,
+                res_c=float(f_c * res),
+                theta_scale=n_theta / (2.0 * jnp.pi),
+                fine_div=False, theta_div=False,
+                clip_before_window=False, precision=prec,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return jnp.where(count > 0, score, BLIND_SCORE).astype(
+                jnp.float32
+            )
 
         def _with_coarse(_):
             cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)

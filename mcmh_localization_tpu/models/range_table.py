@@ -406,6 +406,7 @@ def beam_field_scores(
     impl: str = "auto",      # "auto" | "lut" | "dense"
     interpret: bool | None = None,
     shard_bins_axis: str | None = None,  # shard_map axis: theta-sharded build
+    lookup_impl: str = "auto",  # "auto" | "fused" | "select"
 ) -> jnp.ndarray:
     """Per-particle beam-model scores via a per-scan SCORE FIELD — the
     fully gather-free TPU formulation of ``compute_likelihoods_raycast``
@@ -639,6 +640,61 @@ def beam_field_scores(
             _, cfield = jax.lax.while_loop(
                 _wcond, _wbody,
                 (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
+            )
+
+        # fused index-math + select-gather kernel (the corr scorer's twin —
+        # see models/corr_field.py at the same point): rows/lanes/masks are
+        # computed in-kernel from (px, py, pth); the op-variant flags match
+        # this scorer's historical forms bitwise (world_to_grid DIVIDES by
+        # resolution, tbin DIVIDES by dtheta, window coords clip before
+        # subtracting the origin)
+        from mcmh_localization_tpu.ops.fused_score_pallas import (
+            fused_lookup_supported,
+            fused_window_score_gather,
+        )
+
+        if lookup_impl == "auto":
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and shard_bins_axis is None
+                and fused_lookup_supported(win, nbins, win, hc, kc, wc, prec)
+            )
+        else:
+            use_fused = lookup_impl == "fused"
+        if use_fused:
+            cfield_t = cfield.transpose(1, 0, 2).reshape(hc * kc, wc)
+            denom = (
+                jnp.float32(1.0) if config.score_aggregation == "sum"
+                else jnp.maximum(count, 1).astype(jnp.float32)
+            )
+            if score_validity:
+                fill = (
+                    INVALID_SCORE
+                    * jnp.maximum(count, 1).astype(jnp.float32)
+                    if config.score_aggregation == "sum"
+                    else jnp.float32(INVALID_SCORE)
+                )
+            else:
+                fill = jnp.float32(0.0)
+            score = fused_window_score_gather(
+                field_t, cfield_t, px, py, pth,
+                grid_map.origin[0], grid_map.origin[1], grid_map.resolution,
+                ox0, oy0,
+                kstart if use_theta_win else jnp.int32(0),
+                denom, fill,
+                n_theta=n_theta, nbins=nbins, fh=win, fw=win,
+                h=h, w=w, kc=kc, hc=hc, wc=wc,
+                res_c=float(config.corr_coarse_factor * res),
+                theta_scale=float(dtheta),
+                fine_div=True, theta_div=True,
+                clip_before_window=True, precision=prec,
+                interpret=(
+                    interpret if interpret is not None
+                    else jax.default_backend() != "tpu"
+                ),
+            )
+            return jnp.where(count > 0, score, BLIND_SCORE).astype(
+                jnp.float32
             )
 
         def _with_coarse(_):

@@ -58,8 +58,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GC = 8        # table bins (g rows) per accumulation chunk
-CT = 512      # cells per grid program (lane tile)
+# Tile shapes from a chip sweep at the bench point (kp=120, nq=51, B=24,
+# C=96^2; scripts/microbench22.py): GC=24/CT=1024 measured ~8% faster than
+# the original 8/512 (0.25 vs 0.27 ms) and keeps zero cell padding at
+# C=96^2 (9216 = 9*1024).  GC must stay a multiple of 8 (q_ref row slices
+# must be provably 8-aligned or Mosaic rejects the vector load).
+GC = 24       # table bins (g rows) per accumulation chunk
+CT = 1024     # cells per grid program (lane tile)
 
 
 def _kernel(s_ref, q_ref, out_ref, *, kp, nqp, ct, acc_dtype):
@@ -116,13 +121,17 @@ def lut_field(
 ) -> jnp.ndarray:
     """(B, C) float32: out[b, c] = sum_g s[b, g, qt[g, c]].
 
-    qt values must lie in [0, nq); nq is padded to a multiple-of-64 lane
-    block internally (padded q rows carry zero weight).
+    qt values must lie in [0, nq); nq is padded internally to the smallest
+    multiple of 16 (so the per-chunk contraction width GC*nqp stays
+    128-lane aligned for the s_ref dynamic slice) — the kernel is
+    VPU-bound on the (kp x nqp x C) one-hot build, so every padded q
+    lane is ~1% wasted compares (nq=101: 112 vs the old 128 = 12.5%
+    fewer; padded q rows carry zero weight either way).
     """
     k, c = qt.shape
     b = s.shape[0]
     assert s.shape[1] == k and s.shape[2] == nq
-    nqp = -(-nq // 64) * 64
+    nqp = -(-nq // 16) * 16
     kp = -(-k // GC) * GC
     bp = -(-b // 8) * 8
     cp = -(-c // CT) * CT

@@ -2,7 +2,7 @@
 (100k x 360 beams, win128/tw32, int8 LUT kernel, coarse gate).
 
 In-dispatch scan loops (carry-chained) as in microbench13.
-Usage: python scripts/microbench21.py [N] [tw] [win]
+Usage: python scripts/microbench21.py [N] [tw] [win] [n_theta] [coarse_k]
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,7 +38,10 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     tw = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     win = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-    print("devices:", jax.devices(), "N", N, "tw", tw, "win", win, flush=True)
+    n_theta = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    coarse_k = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    print("devices:", jax.devices(), "N", N, "tw", tw, "win", win,
+          "n_theta", n_theta, "coarse_k", coarse_k, flush=True)
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.filter.step import (
@@ -53,12 +56,17 @@ def main():
     from bench import _tracking_scans, N_BEAMS, SCAN_LEN
 
     gm = _build_map()
+    extra = {}
+    if coarse_k:
+        extra["corr_coarse_n_theta"] = coarse_k
     config = FilterConfig(
         mode="AMHAMCL", num_particles=N, min_particles=N, max_particles=N,
         initialized=True, initial_pose=(0.0, 0.0, 0.3),
-        sensor_model="beam", beam_impl="field", beam_table_n_theta=N_BEAMS,
+        sensor_model="beam", beam_impl="field",
+        beam_table_n_theta=(n_theta or N_BEAMS),
         corr_window_cells=win, corr_theta_window_bins=tw,
         motion_validity="score", min_injection_prob=0.02,
+        **extra,
     )
     log_field = _sensor_table(gm, config)
     tables = _as_beam_tables(log_field, config)
@@ -112,7 +120,7 @@ def main():
     timed("builds only (128 particles)", score_tiny)
 
     # fine lut_field alone at this config's shapes
-    k_tab = N_BEAMS
+    k_tab = config.beam_table_n_theta
     nq = int(tables.dvals.shape[0])
     qw = jax.lax.dynamic_slice(
         tables.qt, (0, wo[0], wo[1]), (k_tab, win, win)
