@@ -203,8 +203,12 @@ def main():
         flush=True,
     )
 
-    # 1M particles, same flagship config, one chip
-    ms_1m = run_config(1_000_000, **flagship)
+    # 1M particles, same flagship config, one chip.  coarse_gate_escapees=0
+    # = ungated coarse build: at 2M scored particles the gate's escapee
+    # count is ~0.75 ms of XLA index math — more than the ~0.3 ms gated
+    # DFT build it skips (config.py::coarse_gate_escapees; the 100k points
+    # keep the default gate, where the ratio reverses)
+    ms_1m = run_config(1_000_000, coarse_gate_escapees=0, **flagship)
     _emit(f"amhamcl_step_ms_1m_particles_{N_BEAMS}beams_win128", ms_1m,
           1_000_000)
 
@@ -215,7 +219,8 @@ def main():
     # KLD's purpose).  kld_eval_window=0 = the EXACT escalating
     # prefix-draw evaluation (ops/resampling.py), no one-sided deviation.
     ms_kld = run_config(1_000_000, min_particles_override=100_000,
-                        kld_eval_window=0, **flagship)
+                        kld_eval_window=0, coarse_gate_escapees=0,
+                        **flagship)
     _emit(f"amhamcl_step_ms_1m_kld_adaptive_{N_BEAMS}beams_win128", ms_kld,
           1_000_000)
 

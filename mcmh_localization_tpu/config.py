@@ -239,7 +239,14 @@ class FilterConfig:
     # die, as tails should) and the ~1 ms/scan build is skipped.  Kidnap /
     # injection-storm / global phases put hundreds of particles outside
     # the window, fire the gate, and recover exactly as ungated.  Set to 1
-    # to build whenever any particle escapes.
+    # to build whenever any particle escapes.  Set to 0 to DISABLE the
+    # gate (always build): the gate's escapee COUNT costs ~0.75 ms of
+    # XLA index math over the 2M-particle MH concat at 1M particles —
+    # with the fused lookup kernel (ops/fused_score_pallas.py) computing
+    # its own indices in-VMEM, that count is the only remaining XLA-side
+    # index pass, so at large N the ungated ~0.3-1 ms build is CHEAPER
+    # than the gate that would skip it (measured; scripts/microbench25.py
+    # lineage).  bench.py uses 0 for the 1M operating points.
     coarse_gate_escapees: int = 8
     # field dtype: float32 (default) or bfloat16 (halves field memory;
     # ~0.5% score noise from bf16 accumulation over beams; currently uses
@@ -297,8 +304,10 @@ class FilterConfig:
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")
-        if self.coarse_gate_escapees < 1:
-            raise ValueError("coarse_gate_escapees must be >= 1")
+        if self.coarse_gate_escapees < 0:
+            raise ValueError(
+                "coarse_gate_escapees must be >= 0 (0 = ungated)"
+            )
         if self.motion_rng not in ("rbg", "threefry"):
             raise ValueError(f"unknown motion_rng {self.motion_rng!r}")
         if self.motion_validity not in ("reject", "score"):

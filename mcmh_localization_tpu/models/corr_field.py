@@ -547,19 +547,26 @@ def correlation_field_scores(
             )
             return jnp.broadcast_to(fill, (kc, hc, wc)).astype(jnp.float32)
 
-        n_esc = jnp.sum(in_map & ~covered)
+        if config.coarse_gate_escapees == 0:
+            # ungated: always build.  The gate's escapee count is the one
+            # remaining XLA index pass once the fused lookup computes its
+            # indices in-VMEM (~0.75 ms at 2M — more than the gated build
+            # it would skip); see config.py::coarse_gate_escapees
+            cfield = _build_coarse(None)
+        else:
+            n_esc = jnp.sum(in_map & ~covered)
 
-        def _wcond(carry):
-            done, _ = carry
-            return jnp.logical_not(done)
+            def _wcond(carry):
+                done, _ = carry
+                return jnp.logical_not(done)
 
-        def _wbody(carry):
-            return jnp.bool_(True), _build_coarse(None)
+            def _wbody(carry):
+                return jnp.bool_(True), _build_coarse(None)
 
-        _, cfield = jax.lax.while_loop(
-            _wcond, _wbody,
-            (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
-        )
+            _, cfield = jax.lax.while_loop(
+                _wcond, _wbody,
+                (n_esc < config.coarse_gate_escapees, _blind_fill(None)),
+            )
 
         # fused index-math + select-gather kernel: rows/lanes/masks are
         # computed from the raw (px, py, pth) columns INSIDE the gather

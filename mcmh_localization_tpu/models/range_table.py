@@ -618,10 +618,13 @@ def beam_field_scores(
             )
             return jnp.broadcast_to(fill, (kc, hc, wc)).astype(jnp.float32)
 
-        if shard_bins_axis is not None:
+        if shard_bins_axis is not None or config.coarse_gate_escapees == 0:
             # never gate under bin sharding: the build contains an
             # all_gather and per-shard predicates could disagree — one
-            # device entering the collective while another skips deadlocks
+            # device entering the collective while another skips deadlocks.
+            # gate == 0: explicitly ungated (the escapee count costs more
+            # XLA index math than the build it skips once the fused lookup
+            # kernel owns the per-particle indices; config.py)
             cfield = _build_coarse(None)
         else:
             # 0-or-1-iteration while_loop, NOT lax.cond: XLA speculates

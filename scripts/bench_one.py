@@ -71,11 +71,12 @@ def main():
         ms = run_config(100_000, **flagship)
         bench._emit("amhamcl_step_ms_100k_win128", ms, 100_000)
     elif which == "1m":
-        ms = run_config(1_000_000, **flagship)
+        ms = run_config(1_000_000, coarse_gate_escapees=0, **flagship)
         bench._emit("amhamcl_step_ms_1m_win128", ms, 1_000_000)
     elif which == "kld":
         ms = run_config(1_000_000, min_particles_override=100_000,
-                        kld_eval_window=0, **flagship)
+                        kld_eval_window=0, coarse_gate_escapees=0,
+                        **flagship)
         bench._emit("amhamcl_step_ms_1m_kld", ms, 1_000_000)
     else:
         raise SystemExit(f"unknown point {which!r}")

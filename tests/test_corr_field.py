@@ -553,6 +553,17 @@ def test_coarse_cond_branch_equivalence(house_map):
         window_origin=wo)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b)[:n],
                                rtol=1e-6, atol=1e-6)
+    # gate=0 (ungated, always-build — config.py): in-window scores are
+    # unchanged, and the far escapee coarse-scores above BLIND
+    from mcmh_localization_tpu.models.sensor import BLIND_SCORE
+
+    c = correlation_field_scores(
+        jnp.concatenate([particles, far]), ranges=ranges, angles=angles,
+        grid_map=house_map, config=cfg.replace(coarse_gate_escapees=0),
+        log_field=lf, n_theta=24, window_origin=wo)
+    np.testing.assert_allclose(np.asarray(c)[:n], np.asarray(a),
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(c)[n] > BLIND_SCORE
 
 
 def test_conv_builder_exact_over_256_beam_pileup():

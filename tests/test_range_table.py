@@ -365,6 +365,16 @@ def test_beam_coarse_build_gate(box_map):
     assert s3[0] > BLIND_SCORE
     np.testing.assert_allclose(s3, s3_ungated, rtol=1e-5)
 
+    # gate=0 (UNGATED: no escapee count at all — cheaper than the gate's
+    # own index math at large N, config.py): always builds, so even ONE
+    # escapee scores via the real coarse field, matching the gate=1 path
+    # when the gate fires
+    s1_ungated = np.asarray(beam_field_scores(
+        jnp.asarray([esc_pose], jnp.float32),
+        **{**kw, "config": cfg.replace(coarse_gate_escapees=0)}))
+    assert s1_ungated[0] > BLIND_SCORE
+    np.testing.assert_allclose(s1_ungated[0], s3_ungated[0], rtol=1e-5)
+
 
 def test_beam_kidnapped_recovery_windowed(house_map):
     """A windowed BEAM-field AMCL filter tracking at pose A is kidnapped
