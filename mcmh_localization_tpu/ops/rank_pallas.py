@@ -38,6 +38,42 @@ from jax.experimental.pallas import tpu as pltpu
 WROWS = 128          # window chunks (sublanes); window = WROWS*128 entries
 SUB = 64             # output tile sublanes -> E = SUB*128 outputs
 
+# take-dot mode: "triple" = exact triple-bf16 decomposition (3 DEFAULT MXU
+# passes per dot instead of HIGHEST's 6 — v = hi + mid + lo with each
+# residual exactly representable, and a 0/1 one-hot contraction has a
+# single nonzero per output column, so (d_hi + d_mid) + d_lo reproduces
+# the f32 value bit-for-bit; only f32 DENORMAL particle coords could
+# break it, via bf16 flush — poses/weights never are).  MEASURED
+# equal-speed to "highest" on chip at 1M (4.98 vs 5.01 ms,
+# scripts/microbench26.py, bitwise-equal outputs): the kernel is DMA/VPU-
+# bound, not MXU-bound — so the simpler single-dot form stays the default
+# and "triple" is kept as the documented negative result.
+EXPAND_DOT = "highest"
+
+
+def _exact_onehot_dot(vals, oh):
+    """(128, e) f32: d[l, em] = vals[r(em), l] for the one-hot ``oh``
+    (WROWS, e) with at most one nonzero per column — bitwise-exact f32."""
+    if EXPAND_DOT == "triple":
+        hi = vals.astype(jnp.bfloat16)
+        r1 = vals - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        ohb = oh.astype(jnp.bfloat16)
+
+        def one(p):
+            return jax.lax.dot_general(
+                p, ohb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return (one(hi) + one(mid)) + one(lo)
+    return jax.lax.dot_general(
+        vals, oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
 
 def _rank_tile(vals, m, wstart, rtot):
     """(1, e) int32 clipped rank of the consecutive integers ``m`` (1, e)
@@ -78,18 +114,35 @@ def _tile_m(t, e):
 
 
 def _kernel(starts_ref, cap_ref, bound_hbm, out_ref, win, sem, *, rtot):
+    """Rank kernel with DOUBLE-BUFFERED window DMA: tile t+1's bound
+    window prefetches while tile t computes (TPU grid steps run
+    sequentially, so scratch persists across them) — without it every
+    grid step stalled on its own ~64 kB HBM fetch."""
     e = SUB * 128
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+
+    def copy(s, tile):
+        return pltpu.make_async_copy(
+            bound_hbm.at[pl.ds(starts_ref[tile], WROWS), :],
+            win.at[s], sem.at[s],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        copy(jax.lax.rem(t + 1, 2), t + 1).start()
+
+    copy(slot, t).wait()
     wstart = starts_ref[t]                  # first window entry row
-    cp = pltpu.make_async_copy(
-        bound_hbm.at[pl.ds(wstart, WROWS), :], win, sem
-    )
-    cp.start()
-    cp.wait()
     # slots beyond the cap (count-truncated draws) rank as slot cap —
     # "tail repeats", and the clamp is what keeps their windows narrow
     m = jnp.minimum(_tile_m(t, e), cap_ref[0])
-    out_ref[:] = _rank_tile(win[:], m, wstart, rtot).reshape(SUB, 128)
+    out_ref[:] = _rank_tile(win[slot], m, wstart, rtot).reshape(SUB, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "rtot", "interpret"))
@@ -106,8 +159,8 @@ def _rank_kernel_call(bound2, starts, cap, m_out, rtot, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_out // 128, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((WROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, WROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(starts, cap, bound2)
@@ -224,21 +277,42 @@ ESUB = 32   # fused tile sublanes (smaller: rank + take buffers coexist)
 
 def _expand_kernel(starts_ref, cap_ref, bound_hbm, cols_hbm, out_ref,
                    winb, winc, semb, semc, *, rtot, c):
+    """Fused rank+take with DOUBLE-BUFFERED window DMA (see _kernel): the
+    next tile's bound + particle-column windows (~256 kB) stream in while
+    this tile ranks and takes."""
     e = ESUB * 128
     t = pl.program_id(0)
-    wstart = starts_ref[t]
-    cpb = pltpu.make_async_copy(
-        bound_hbm.at[pl.ds(wstart, WROWS), :], winb, semb
-    )
-    cpb.start()
-    cpc = pltpu.make_async_copy(
-        cols_hbm.at[:, pl.ds(wstart, WROWS), :], winc, semc
-    )
-    cpc.start()
-    cpb.wait()
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
 
+    def copies(s, tile):
+        ws = starts_ref[tile]
+        return (
+            pltpu.make_async_copy(
+                bound_hbm.at[pl.ds(ws, WROWS), :], winb.at[s], semb.at[s]
+            ),
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(ws, WROWS), :], winc.at[s], semc.at[s]
+            ),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        cb, cc = copies(0, 0)
+        cb.start()
+        cc.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        cb, cc = copies(jax.lax.rem(t + 1, 2), t + 1)
+        cb.start()
+        cc.start()
+
+    cb, cc = copies(slot, t)
+    cb.wait()
+    wstart = starts_ref[t]
     m = jnp.minimum(_tile_m(t, e), cap_ref[0])  # tail slots repeat slot cap
-    idx = _rank_tile(winb[:], m, wstart, rtot)
+    idx = _rank_tile(winb[slot], m, wstart, rtot)
 
     # take: window-local offsets (wstart clamped so idx >= wstart*128)
     rl = idx - wstart * 128
@@ -250,13 +324,9 @@ def _expand_kernel(starts_ref, cap_ref, bound_hbm, cols_hbm, out_ref,
     lane_mask = (
         jax.lax.broadcasted_iota(jnp.int32, (128, e), 0) == ll
     ).astype(jnp.float32)
-    cpc.wait()
+    cc.wait()
     for ci in range(c):
-        dc = jax.lax.dot_general(
-            winc[ci], oh2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        dc = _exact_onehot_dot(winc[slot, ci], oh2)
         out_ref[ci] = jnp.sum(dc * lane_mask, axis=0).reshape(ESUB, 128)
 
 
@@ -277,10 +347,10 @@ def _expand_kernel_call(bound2, cols3, starts, cap, m_out, rtot,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, m_out // 128, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WROWS, 128), jnp.int32),
-            pltpu.VMEM((c, WROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, WROWS, 128), jnp.int32),
+            pltpu.VMEM((2, c, WROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(starts, cap, bound2, cols3)

@@ -9,7 +9,14 @@ framework's mode-finding extension.  This script records time-to-localize
 (first scan whose cluster estimate stays within 0.5 m of ground truth
 through the end) and the final error, on the real chip.
 
-Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed]
+The GLOBAL phase runs the full-map correlation field (corr_window_cells=0):
+a window centered on a multimodal cloud's mean sits BETWEEN modes, so every
+particle coarse-scores and the modes never resolve (measured: the windowed
+config's cluster estimate flickers among 7-13 m modes indefinitely on
+map_house).  The window is a converged-tracking optimization; global
+localization is the regime it documents itself out of.
+
+Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed] [win]
 Prints one JSON line for RESULTS.md.
 """
 import json
@@ -29,6 +36,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     duration = float(sys.argv[2]) if len(sys.argv) > 2 else 40.0
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    win = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.eval.runner import run_filter_on_bag
@@ -59,8 +67,8 @@ def main():
         num_particles=n, min_particles=max(n // 10, 1000), max_particles=n,
         initialized=False,                     # uniform over free space
         max_range=5.0,
-        likelihood_impl="corr", corr_window_cells=128,
-        corr_theta_window_bins=32,
+        likelihood_impl="corr", corr_window_cells=win,
+        corr_theta_window_bins=(32 if win else 0),
         estimate_mode="cluster",
         motion_validity="score", min_injection_prob=0.02,
     )
