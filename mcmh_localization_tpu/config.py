@@ -221,6 +221,24 @@ class FilterConfig:
     # smoothed but honest score so injected particles can win.
     corr_coarse_factor: int = 4
     corr_coarse_n_theta: int = 36
+    # window CENTER policy (round-4; no reference equivalent — the
+    # reference scores the full map, parallel_utils.py:85-149):
+    # "anchor" (default) = center the spatial+theta window on the
+    #           top-weight particle of the PREVIOUS scan (FilterState.
+    #           anchor, refreshed pre-resample each correct and advanced
+    #           deterministically by each odometry delta).  On a
+    #           multimodal cloud (global localization, kidnapped
+    #           recovery) the window locks onto the dominant mode and
+    #           MIGRATES when an injected/competing mode out-scores it
+    #           via the coarse fallback — so ONE windowed config
+    #           survives global + kidnap + tracking phases.
+    # "mean"   = round-3 behavior: center on the active cloud's mean
+    #           position / pooled circular-mean heading.  Equivalent to
+    #           "anchor" once the cloud is unimodal; on a multimodal
+    #           cloud the mean sits BETWEEN modes and every mode
+    #           coarse-scores forever (the round-3 global demo had to
+    #           run window=0 for the global phase because of this).
+    window_center: str = "anchor"
     # motion proposal noise bit generator: "threefry" (jax default) or
     # "rbg" (XLA RngBitGenerator; models/motion.py::fast_normal).
     # Standalone, threefry normals cost 0.37 ms/scan at 100k particles —
@@ -302,6 +320,8 @@ class FilterConfig:
             )
         if self.estimate_mode not in ("mean", "cluster"):
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
+        if self.window_center not in ("anchor", "mean"):
+            raise ValueError(f"unknown window_center {self.window_center!r}")
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")
         if self.coarse_gate_escapees < 0:

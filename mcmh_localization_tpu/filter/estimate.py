@@ -90,6 +90,26 @@ def estimate_pose_cluster(
     return estimate_pose(particles, weights, cmask)
 
 
+def cluster_mass(
+    particles: jnp.ndarray,
+    weights: jnp.ndarray,
+    pose: jnp.ndarray,
+    radius_xy: float,
+    radius_theta: float,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Total weight within (radius_xy, radius_theta) of ``pose`` — the
+    mode-mass signal used to gate window-anchor migration (filter/step.py):
+    a single lucky coarse-scored particle has mass ~ its own weight, while
+    a genuine competing mode accumulates resampled followers."""
+    w = jnp.where(mask, weights, 0.0) if mask is not None else weights
+    dx = particles[:, 0] - pose[0]
+    dy = particles[:, 1] - pose[1]
+    dth = jnp.abs(normalize_angle_about(particles[:, 2], pose[2]))
+    near = (dx * dx + dy * dy <= radius_xy * radius_xy) & (dth <= radius_theta)
+    return jnp.sum(jnp.where(near, w, 0.0))
+
+
 def covariance_6x6(cov3: jnp.ndarray) -> jnp.ndarray:
     """Pack a 3x3 (x, y, theta) covariance into the ROS flat 6x6 layout
     (x, y, z, rot_x, rot_y, rot_z) used at amcmh_localizer.py:606-620."""

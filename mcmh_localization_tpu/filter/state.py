@@ -29,6 +29,10 @@ class FilterState:
     w_slow: jnp.ndarray          # () f32 augmented-MCL slow average
     w_fast: jnp.ndarray          # () f32 augmented-MCL fast average
     delta: jnp.ndarray           # (3,) last odometry delta (rot1, trans, rot2)
+    anchor: jnp.ndarray          # (3,) top-weight pose of the last scored
+                                 # scan, advanced by each odometry delta —
+                                 # the window center under
+                                 # config.window_center="anchor"
     key: jax.Array               # PRNG key
 
     @property
@@ -60,6 +64,15 @@ def make_state(
     if pad < 0:
         raise ValueError(f"{n} particles > n_max={n_max}")
     particles = jnp.pad(particles.astype(jnp.float32), ((0, pad), (0, 0)))
+    # initial window anchor: the cloud mean (circular in theta) — no scan
+    # has been scored yet, so there is no top-weight pose; on the first
+    # correct the anchor refreshes to argmax-weight (filter/step.py)
+    denom = jnp.float32(max(int(n), 1))
+    mean_xy = jnp.sum(particles[:n, :2], axis=0) / denom
+    mean_th = jnp.arctan2(
+        jnp.sum(jnp.sin(particles[:n, 2])), jnp.sum(jnp.cos(particles[:n, 2]))
+    )
+    anchor = jnp.concatenate([mean_xy, mean_th[None]]).astype(jnp.float32)
     count = jnp.asarray(count, dtype=jnp.int32)
     mask = jnp.arange(n_max) < count
     weights = jnp.where(mask, 1.0 / jnp.maximum(count, 1), 0.0).astype(jnp.float32)
@@ -73,5 +86,6 @@ def make_state(
         w_slow=jnp.float32(w_init),
         w_fast=jnp.float32(w_init),
         delta=jnp.zeros(3, dtype=jnp.float32),
+        anchor=anchor,
         key=key,
     )

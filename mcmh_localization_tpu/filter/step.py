@@ -87,8 +87,24 @@ def _predict(state: FilterState, delta: jnp.ndarray, grid_map, config: FilterCon
         prev_particles=state.particles,
         particles=proposed,
         delta=delta.astype(jnp.float32),
+        anchor=advance_anchor(state.anchor, delta),
         key=key,
     )
+
+
+def advance_anchor(anchor: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic (noise-free) odometry application to the window-anchor
+    pose — the rot1/trans/rot2 composition of sample_motion
+    (parallel_utils.py:349-357) without the sampled noise, so the anchor
+    stays on the top-weight cluster as the whole cloud moves."""
+    from mcmh_localization_tpu.utils.angles import normalize_angle
+
+    th1 = anchor[2] + delta[0]
+    x = anchor[0] + delta[1] * jnp.cos(th1)
+    y = anchor[1] + delta[1] * jnp.sin(th1)
+    return jnp.stack(
+        [x, y, normalize_angle(th1 + delta[2])]
+    ).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -230,27 +246,51 @@ def _window_origin(
     during kidnapped-robot recovery the window must migrate with the
     winning injected mode — pooling positions with the stale prev set
     was measured to stall that migration (late re-localization spikes in
-    tests/test_corr_field.py::test_kidnapped_recovery_windowed)."""
+    tests/test_corr_field.py::test_kidnapped_recovery_windowed).
+
+    window_center="anchor" (round-4 default): center on state.anchor —
+    the previous scan's top-weight pose advanced by the odometry delta —
+    instead of the cloud mean.  Identical once the cloud is unimodal; on
+    a multimodal cloud (global localization) the mean sits BETWEEN modes
+    and nothing ever fine-scores, while the anchor locks the dominant
+    mode and migrates to whichever mode wins the coarse-scored
+    competition.  Under MH the anchor tracks the CURRENT set (it was
+    advanced by the full delta), so the theta center backs off by
+    (rot1+rot2)/2 to pool with the un-advanced prev set."""
     mask = state.active_mask
-    n = jnp.maximum(jnp.sum(mask), 1)
-    mean_x = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
-    mean_y = jnp.sum(jnp.where(mask, state.particles[:, 1], 0.0)) / n
     inv_res = 1.0 / grid_map.resolution
     half = config.corr_window_cells // 2
-    ox0 = ((mean_x - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
-    oy0 = ((mean_y - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
+    if config.window_center == "anchor":
+        from mcmh_localization_tpu.utils.angles import normalize_angle
+
+        cx, cy = state.anchor[0], state.anchor[1]
+        mean_t = state.anchor[2]
+        if config.use_mh:
+            # keep in [-pi, pi): the kmid int32 truncation below needs
+            # mean_t + pi >= 0
+            mean_t = normalize_angle(
+                mean_t - 0.5 * (state.delta[0] + state.delta[2])
+            )
+    else:
+        n = jnp.maximum(jnp.sum(mask), 1)
+        cx = jnp.sum(jnp.where(mask, state.particles[:, 0], 0.0)) / n
+        cy = jnp.sum(jnp.where(mask, state.particles[:, 1], 0.0)) / n
+        mean_t = None
+    ox0 = ((cx - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
+    oy0 = ((cy - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
     if config.corr_theta_window_bins:
-        sets = (
-            (state.particles, state.prev_particles) if config.use_mh
-            else (state.particles,)
-        )
-        c = sum(
-            jnp.sum(jnp.where(mask, jnp.cos(p[:, 2]), 0.0)) for p in sets
-        )
-        s = sum(
-            jnp.sum(jnp.where(mask, jnp.sin(p[:, 2]), 0.0)) for p in sets
-        )
-        mean_t = jnp.arctan2(s, c)
+        if mean_t is None:
+            sets = (
+                (state.particles, state.prev_particles) if config.use_mh
+                else (state.particles,)
+            )
+            c = sum(
+                jnp.sum(jnp.where(mask, jnp.cos(p[:, 2]), 0.0)) for p in sets
+            )
+            s = sum(
+                jnp.sum(jnp.where(mask, jnp.sin(p[:, 2]), 0.0)) for p in sets
+            )
+            mean_t = jnp.arctan2(s, c)
         k = n_theta if n_theta is not None else config.corr_n_theta
         kmid = (
             ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
@@ -258,6 +298,41 @@ def _window_origin(
         kstart = (kmid - config.corr_theta_window_bins // 2) % k
         return oy0, ox0, kstart
     return oy0, ox0
+
+
+def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
+    """Window-anchor update, CLUSTER-MASS GATED: the raw argmax pose
+    hijacks the window for a scan whenever one lucky coarse-scored
+    particle out-scores the tracked cluster (the coarse field is
+    max-pooled = optimistic by design), which was measured to flicker
+    the beam kidnap recovery (4 m estimate spikes every few scans).
+    The anchor therefore only MIGRATES to the argmax candidate when the
+    candidate's total cluster weight beats the incumbent anchor's — a
+    genuine competing mode accumulates resampled followers, a lucky
+    outlier has mass ~ its own weight.  A candidate inside the
+    incumbent's cluster radius always adopts (same mode; re-centering
+    prevents the deterministically-advanced anchor from accumulating
+    odometry drift).  Cost: one argmax + two masked weighted sums."""
+    from mcmh_localization_tpu.filter.estimate import cluster_mass
+    from mcmh_localization_tpu.utils.angles import normalize_angle_about
+
+    w = jnp.where(mask, weights, 0.0)
+    cand = particles[jnp.argmax(w)].astype(jnp.float32)
+    m_cand = cluster_mass(
+        particles, w, cand,
+        config.cluster_radius_xy, config.cluster_radius_theta,
+    )
+    m_cur = cluster_mass(
+        particles, w, anchor,
+        config.cluster_radius_xy, config.cluster_radius_theta,
+    )
+    d_xy = jnp.hypot(cand[0] - anchor[0], cand[1] - anchor[1])
+    d_th = jnp.abs(normalize_angle_about(cand[2], anchor[2]))
+    same_mode = (d_xy <= config.cluster_radius_xy) & (
+        d_th <= config.cluster_radius_theta
+    )
+    adopt = same_mode | (m_cand > m_cur)
+    return jnp.where(adopt, cand, anchor).astype(jnp.float32)
 
 
 def _transition_probabilities(state: FilterState, config: FilterConfig):
@@ -507,6 +582,14 @@ def _correct(
             w_fast=state.w_fast + config.alpha_fast * (w_avg - state.w_fast),
         )
     state = state.replace(weights=weights)
+
+    # -- window anchor refresh (pre-resample weights identify modes;
+    # post-resample they are uniform)
+    state = state.replace(
+        anchor=refresh_anchor(
+            state.particles, state.weights, state.anchor, config, mask
+        )
+    )
 
     # -- estimate BEFORE resampling (:327)
     if config.estimate_mode == "cluster":

@@ -104,11 +104,10 @@ def estimate_pose_dist(particles, weights, mask, axis) -> PoseEstimate:
     return PoseEstimate(mean=mean, cov=cov)
 
 
-def estimate_pose_cluster_dist(
-    particles, weights, mask, axis, radius_xy, radius_theta
-) -> PoseEstimate:
-    """filter/estimate.py::estimate_pose_cluster, global anchor via pmax."""
-    w = jnp.where(mask, weights, 0.0)
+def _global_top_pose(particles, w, axis):
+    """Pose of the globally-highest-weight particle across shards: local
+    argmax, then pmax + first-shard tiebreak + psum broadcast (3 scalar
+    collectives; no particle data moves)."""
     i = jnp.argmax(w)
     w_best = w[i]
     cand = particles[i]
@@ -116,9 +115,17 @@ def estimate_pose_cluster_dist(
     ax = jax.lax.axis_index(axis)
     is_max = w_best >= wmax
     first_ax = jax.lax.pmin(jnp.where(is_max, ax, jnp.int32(2 ** 30)), axis)
-    anchor = jax.lax.psum(
+    return jax.lax.psum(
         jnp.where(is_max & (ax == first_ax), cand, jnp.zeros(3)), axis
     )
+
+
+def estimate_pose_cluster_dist(
+    particles, weights, mask, axis, radius_xy, radius_theta
+) -> PoseEstimate:
+    """filter/estimate.py::estimate_pose_cluster, global anchor via pmax."""
+    w = jnp.where(mask, weights, 0.0)
+    anchor = _global_top_pose(particles, w, axis)
     dx = particles[:, 0] - anchor[0]
     dy = particles[:, 1] - anchor[1]
     dth = jnp.abs(normalize_angle_about(particles[:, 2], anchor[2]))
@@ -131,15 +138,35 @@ def estimate_pose_cluster_dist(
 # ---------------------------------------------------------------------------
 
 def _dist_window_origin(particles, mask, count, grid_map, config, axis,
-                        n_theta=None, prev_particles=None):
+                        n_theta=None, prev_particles=None, anchor=None,
+                        delta=None):
     """THETA center pooled over BOTH scored sets when ``prev_particles``
     is given; spatial center on the current set only — same rationale as
-    filter/step.py::_window_origin."""
+    filter/step.py::_window_origin.  With config.window_center="anchor"
+    (and ``anchor`` given, replicated across shards), the window centers
+    on the top-weight pose instead — see filter/step.py."""
+    inv_res = 1.0 / grid_map.resolution
+    half = config.corr_window_cells // 2
+    if config.window_center == "anchor" and anchor is not None:
+        from mcmh_localization_tpu.utils.angles import normalize_angle
+
+        cx, cy = anchor[0], anchor[1]
+        mean_t = anchor[2]
+        if prev_particles is not None and delta is not None:
+            mean_t = normalize_angle(mean_t - 0.5 * (delta[0] + delta[2]))
+        ox0 = ((cx - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
+        oy0 = ((cy - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
+        if not config.corr_theta_window_bins:
+            return oy0, ox0
+        k = n_theta if n_theta is not None else config.corr_n_theta
+        kmid = (
+            ((mean_t + jnp.pi) * (k / (2.0 * jnp.pi))).astype(jnp.int32) % k
+        )
+        kstart = (kmid - config.corr_theta_window_bins // 2) % k
+        return oy0, ox0, kstart
     n = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis), 1)
     sx = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 0], 0.0)), axis)
     sy = jax.lax.psum(jnp.sum(jnp.where(mask, particles[:, 1], 0.0)), axis)
-    inv_res = 1.0 / grid_map.resolution
-    half = config.corr_window_cells // 2
     ox0 = ((sx / n - grid_map.origin[0]) * inv_res).astype(jnp.int32) - half
     oy0 = ((sy / n - grid_map.origin[1]) * inv_res).astype(jnp.int32) - half
     if config.corr_theta_window_bins:
@@ -296,9 +323,12 @@ def _dist_step(
         retries=retries, rng_impl=config.motion_rng,
     )
     prev = state.particles
+    from mcmh_localization_tpu.filter.step import advance_anchor
+
     state = state.replace(
         prev_particles=prev, particles=proposed,
         delta=delta.astype(jnp.float32),
+        anchor=advance_anchor(state.anchor, delta),
     )
 
     # ---- correct: global softmax over theta-sharded corr/beam scores
@@ -313,6 +343,7 @@ def _dist_step(
             state.particles, mask, state.count, grid_map, config, axis,
             n_theta=config.beam_table_n_theta,
             prev_particles=state.prev_particles if config.use_mh else None,
+            anchor=state.anchor, delta=state.delta,
         )
     elif (
         config.corr_window_cells
@@ -322,6 +353,7 @@ def _dist_step(
         wo = _dist_window_origin(
             state.particles, mask, state.count, grid_map, config, axis,
             prev_particles=state.prev_particles if config.use_mh else None,
+            anchor=state.anchor, delta=state.delta,
         )
     else:
         wo = None
@@ -418,6 +450,31 @@ def _dist_step(
             w_fast=state.w_fast + config.alpha_fast * (w_avg - state.w_fast),
         )
     state = state.replace(weights=weights)
+
+    # ---- window anchor refresh, cluster-mass gated (mirrors
+    # filter/step.py's pre-resample refresh; masses are psum'd)
+    from mcmh_localization_tpu.filter.estimate import cluster_mass
+
+    cand = _global_top_pose(
+        state.particles, jnp.where(mask, state.weights, 0.0), axis
+    ).astype(jnp.float32)
+    m_cand = jax.lax.psum(cluster_mass(
+        state.particles, state.weights, cand,
+        config.cluster_radius_xy, config.cluster_radius_theta, mask,
+    ), axis)
+    m_cur = jax.lax.psum(cluster_mass(
+        state.particles, state.weights, state.anchor,
+        config.cluster_radius_xy, config.cluster_radius_theta, mask,
+    ), axis)
+    d_xy = jnp.hypot(cand[0] - state.anchor[0], cand[1] - state.anchor[1])
+    d_th = jnp.abs(normalize_angle_about(cand[2], state.anchor[2]))
+    same_mode = (d_xy <= config.cluster_radius_xy) & (
+        d_th <= config.cluster_radius_theta
+    )
+    adopt = same_mode | (m_cand > m_cur)
+    state = state.replace(
+        anchor=jnp.where(adopt, cand, state.anchor).astype(jnp.float32)
+    )
 
     # ---- estimate (global reductions)
     if config.estimate_mode == "cluster":
@@ -584,6 +641,7 @@ def make_dist_model(
         w_slow=P(),
         w_fast=P(),
         delta=P(),
+        anchor=P(),
         key=P(),
     )
     body = functools.partial(

@@ -57,6 +57,7 @@ def _state_sharding(mesh: Mesh, axis: str = "data"):
         w_slow=rep,
         w_fast=rep,
         delta=rep,
+        anchor=rep,
         key=rep,
     )
 

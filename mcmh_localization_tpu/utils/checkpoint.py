@@ -24,6 +24,7 @@ _FIELDS = (
     "w_slow",
     "w_fast",
     "delta",
+    "anchor",
 )
 
 
@@ -46,5 +47,17 @@ def load_state(path: str) -> FilterState:
             w_slow=jnp.asarray(z["w_slow"]),
             w_fast=jnp.asarray(z["w_fast"]),
             delta=jnp.asarray(z["delta"]),
+            # pre-round-4 checkpoints have no anchor; the weighted-mean
+            # fallback matches make_state's fresh-state initialization
+            anchor=(
+                jnp.asarray(z["anchor"]) if "anchor" in z
+                else jnp.asarray(
+                    np.average(
+                        z["particles"], axis=0,
+                        weights=np.maximum(z["weights"], 0.0) + 1e-30,
+                    ),
+                    dtype=jnp.float32,
+                )
+            ),
             key=key,
         )

