@@ -281,6 +281,21 @@ class FilterConfig:
     estimate_mode: str = "mean"
     cluster_radius_xy: float = 0.5
     cluster_radius_theta: float = 1.0
+    # --- OnlineLocalizer predict batching (round-4; reference anchor:
+    # amcmh_localizer.py:379-408 runs one proposal per /odom message) ---
+    # "per_message": reference semantics — every on_odom dispatches a
+    #                predict (motion noise applied per message).  Through
+    #                the remote-TPU tunnel each dispatch costs ~3.6 ms of
+    #                enqueue, ~11% of a chip at 30 Hz odom.
+    # "per_scan":    on_odom is host-side bookkeeping only; ONE predict
+    #                per scan using the (rot1, trans, rot2) decomposition
+    #                between the last-predicted and latest odom poses.
+    #                Documented deviation: motion noise is applied once
+    #                per scan (scaled by the whole inter-scan delta) and
+    #                the decomposition is endpoint-to-endpoint rather
+    #                than per-segment; tracking parity is asserted in
+    #                tests/test_online.py.
+    predict_batching: str = "per_message"
     dt: float = 0.02  # scan interval used by w_slow/w_fast bookkeeping
                       # (amcmh_localizer.py:37; note the reference computes
                       # alpha_*_eff from dt but never uses them, :280-281)
@@ -322,6 +337,10 @@ class FilterConfig:
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
         if self.window_center not in ("anchor", "mean"):
             raise ValueError(f"unknown window_center {self.window_center!r}")
+        if self.predict_batching not in ("per_message", "per_scan"):
+            raise ValueError(
+                f"unknown predict_batching {self.predict_batching!r}"
+            )
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")
         if self.coarse_gate_escapees < 0:

@@ -45,7 +45,15 @@ class OnlineLocalizer:
             jax.random.PRNGKey(seed), initial_pose=initial_pose
         )
         self._last_odom: Optional[np.ndarray] = None
+        # per_scan batching: odom pose at the time of the last predict —
+        # on_scan dispatches ONE predict covering everything since
+        self._predicted_from: Optional[np.ndarray] = None
         self.last_info = None
+        # live map->odom re-anchoring (pose_broadcaster node equivalent);
+        # fed by on_odom, emits on every on_scan via .reanchor.latest()
+        from mcmh_localization_tpu.viz import TFReanchorer
+
+        self.reanchor = TFReanchorer()
 
     # -- inputs --------------------------------------------------------------
 
@@ -56,17 +64,26 @@ class OnlineLocalizer:
             jax.random.PRNGKey(seed), initial_pose=jnp.asarray([x, y, yaw])
         )
         self._last_odom = None
+        self._predicted_from = None
 
-    def on_odom(self, x: float, y: float, yaw: float):
+    def on_odom(self, x: float, y: float, yaw: float, stamp: float | None = None):
         """Odometry pose update -> motion proposal (odom_callback,
-        amcmh_localizer.py:379-408).  First message only seeds last_odom."""
+        amcmh_localizer.py:379-408).  First message only seeds last_odom.
+
+        With config.predict_batching="per_scan" this is host-side
+        bookkeeping only (no device dispatch); on_scan runs one predict
+        covering all odometry since the previous scan."""
         curr = np.asarray([x, y, yaw], dtype=np.float32)
-        if self._last_odom is not None:
+        if self._last_odom is None:
+            self._predicted_from = curr
+        elif self.config.predict_batching == "per_message":
             delta = compute_motion(
                 jnp.asarray(self._last_odom), jnp.asarray(curr)
             )
             self.state = self.model.predict(self.state, delta)
+            self._predicted_from = curr
         self._last_odom = curr
+        self.reanchor.on_odom(x, y, yaw, stamp)
 
     def on_odom_quaternion(self, x, y, qx, qy, qz, qw):
         """Odometry with quaternion orientation, as a ROS Odometry carries."""
@@ -84,9 +101,25 @@ class OnlineLocalizer:
                                   dtype=jnp.float32)
         else:
             angles = jnp.asarray(angles, dtype=jnp.float32)
+        if (
+            self.config.predict_batching == "per_scan"
+            and self._last_odom is not None
+            and self._predicted_from is not None
+            and not np.array_equal(self._predicted_from, self._last_odom)
+        ):
+            delta = compute_motion(
+                jnp.asarray(self._predicted_from), jnp.asarray(self._last_odom)
+            )
+            self.state = self.model.predict(self.state, delta)
+            self._predicted_from = self._last_odom
         self.state, info = self.model.correct(self.state, ranges, angles)
         self.last_info = info
-        return self.estimate()
+        est = self.estimate()
+        if est:
+            # the pose_broadcaster loop: one map->odom re-anchor per
+            # estimate (pose_broadcaster.py:31-35)
+            self.reanchor.on_estimate(est["pose3"])
+        return est
 
     # -- outputs -------------------------------------------------------------
 

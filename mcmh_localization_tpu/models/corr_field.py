@@ -580,7 +580,9 @@ def correlation_field_scores(
         if lookup_impl == "auto":
             use_fused = (
                 jax.default_backend() == "tpu"
-                and fused_lookup_supported(fh, nbins, fw, hc, kc, wc, prec)
+                and fused_lookup_supported(
+                    fh, nbins, fw, hc, kc, wc, prec, n=particles.shape[0]
+                )
             )
         else:
             use_fused = lookup_impl == "fused"

@@ -660,7 +660,10 @@ def beam_field_scores(
             use_fused = (
                 jax.default_backend() == "tpu"
                 and shard_bins_axis is None
-                and fused_lookup_supported(win, nbins, win, hc, kc, wc, prec)
+                and fused_lookup_supported(
+                    win, nbins, win, hc, kc, wc, prec,
+                    n=particles.shape[0],
+                )
             )
         else:
             use_fused = lookup_impl == "fused"

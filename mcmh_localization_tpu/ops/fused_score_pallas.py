@@ -47,7 +47,6 @@ from mcmh_localization_tpu.ops.gather_pallas import (
     RC,
     _fold_2d,
     _pick_sub,
-    _use_kernel,
 )
 
 
@@ -280,13 +279,22 @@ def fused_window_score_gather(
 
 
 def fused_lookup_supported(fh, nbins, fw, hc, kc, wc,
-                           precision: str = "split") -> bool:
+                           precision: str = "split", n=None) -> bool:
     """Whether the fused kernel can serve this field geometry: 128-lane
-    fields and a combined table under the gather VMEM budget."""
+    fields and a combined table under the gather VMEM budget.  ``n``
+    (static particle count, when known) applies the same small-N floor as
+    gather_pallas._use_kernel: below _MIN_N the per-call table
+    fold/transpose/bf16-split prep outweighs the gather it feeds, and the
+    unfused XLA path is faster (ADVICE r3)."""
     if fw > 128 or wc > 128:
         return False
-    rows = fh * nbins + hc * kc
-    from mcmh_localization_tpu.ops.gather_pallas import _table_bytes
-    from mcmh_localization_tpu.ops.gather_pallas import _MAX_TABLE_BYTES
+    from mcmh_localization_tpu.ops.gather_pallas import (
+        _MAX_TABLE_BYTES,
+        _MIN_N,
+        _table_bytes,
+    )
 
+    if n is not None and n < _MIN_N:
+        return False
+    rows = fh * nbins + hc * kc
     return _table_bytes(rows, precision) <= _MAX_TABLE_BYTES

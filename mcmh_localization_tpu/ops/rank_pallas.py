@@ -51,10 +51,12 @@ SUB = 64             # output tile sublanes -> E = SUB*128 outputs
 EXPAND_DOT = "highest"
 
 
-def _exact_onehot_dot(vals, oh):
+def _exact_onehot_dot(vals, oh, mode: str | None = None):
     """(128, e) f32: d[l, em] = vals[r(em), l] for the one-hot ``oh``
-    (WROWS, e) with at most one nonzero per column — bitwise-exact f32."""
-    if EXPAND_DOT == "triple":
+    (WROWS, e) with at most one nonzero per column — bitwise-exact f32.
+    ``mode`` overrides EXPAND_DOT (tests exercise the "triple"
+    decomposition so its bitwise-exactness claim stays verified)."""
+    if (mode or EXPAND_DOT) == "triple":
         hi = vals.astype(jnp.bfloat16)
         r1 = vals - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)

@@ -123,6 +123,66 @@ def map_to_odom_transform(
     return trans, quat
 
 
+class TFReanchorer:
+    """Live map->odom re-anchoring loop — the PoseBroadcaster node as a
+    stream helper (pose_broadcaster.py:22,31-41,88-105; closes SURVEY.md
+    L2).
+
+    The reference node, per estimate message: look up the LATEST
+    odom->base transform from the TF buffer (``Time(0)`` semantics,
+    :37-41), compose ``T_map_odom = T_map_base . inv(T_odom_base)``
+    (:43-86), and broadcast map->odom (:88-105).  Here ``on_odom`` plays
+    the TF buffer (latest odom->base) and ``on_estimate`` plays
+    pose_callback, returning the TransformStamped-equivalent dict (and
+    recording it on ``.transforms``).
+
+    Deviations (documented): when no odom->base is available yet the
+    reference's lookup returns None and pose_callback would crash on it
+    (pose_broadcaster.py:33-34 passes None into the math) — here the
+    estimate is skipped and None returned.  ``stale_after`` optionally
+    rejects odom older than the estimate by more than that many seconds
+    (the ExtrapolationException analogue); default None = the reference's
+    Time(0) latest-available behavior.
+    """
+
+    def __init__(self, stale_after: float | None = None):
+        self.stale_after = stale_after
+        self._odom = None          # (x, y, yaw)
+        self._odom_stamp = None
+        self.transforms: list = []  # broadcast history
+
+    def on_odom(self, x: float, y: float, yaw: float, stamp: float | None = None):
+        """Latest odom->base_footprint pose (the TF-listener feed)."""
+        self._odom = (float(x), float(y), float(yaw))
+        self._odom_stamp = stamp
+
+    def on_estimate(self, pose3, stamp: float | None = None):
+        """One estimate message -> one map->odom broadcast (or None when
+        the odom lookup fails / is stale)."""
+        if self._odom is None:
+            return None
+        if (
+            self.stale_after is not None
+            and stamp is not None
+            and self._odom_stamp is not None
+            and stamp - self._odom_stamp > self.stale_after
+        ):
+            return None
+        trans, quat = map_to_odom_transform(tuple(pose3), self._odom)
+        t = {
+            "frame_id": "map",
+            "child_frame_id": "odom",
+            "stamp": stamp,
+            "translation": tuple(float(v) for v in trans),
+            "rotation": tuple(float(v) for v in quat),
+        }
+        self.transforms.append(t)
+        return t
+
+    def latest(self):
+        return self.transforms[-1] if self.transforms else None
+
+
 def sample_check(map_yaml: str, n: int = 500, seed: int = 0, out: str = "particle_bound.png"):
     """Map-sampling sanity check: draw n uniform free-space poses and render
     them — the particle_generator.py / particle_bound.launch equivalent

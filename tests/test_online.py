@@ -50,6 +50,102 @@ def test_online_quaternion_odom(house_map):
     np.testing.assert_allclose(loc._last_odom[2], yaw, atol=1e-6)
 
 
+def test_online_per_scan_batching_tracks(house_map):
+    """predict_batching="per_scan": on_odom is host-side only (no device
+    dispatch, state object unchanged); one predict per scan.  Tracking
+    parity with per_message on the same trajectory (documented deviation:
+    noise once per scan).  Ref anchor: amcmh_localizer.py:379-408."""
+    angles = jnp.linspace(-np.pi, np.pi, 90)
+    finals = {}
+    for batching in ("per_message", "per_scan"):
+        cfg = FilterConfig(
+            mode="MHAMCL", num_particles=300, min_particles=50,
+            max_particles=400, initialized=True,
+            initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+            predict_batching=batching,
+        )
+        loc = OnlineLocalizer(cfg, house_map, seed=0)
+        pose = np.array([1.0, -1.0, 0.0])
+        est = None
+        for t in range(30):
+            for _ in range(3):
+                pose = pose + [0.05 * np.cos(pose[2]),
+                               0.05 * np.sin(pose[2]), 0.02]
+                pose[2] = (pose[2] + np.pi) % (2 * np.pi) - np.pi
+                before = loc.state
+                loc.on_odom(*pose)
+                if batching == "per_scan":
+                    assert loc.state is before  # no dispatch on odom
+            est = loc.on_scan(
+                raycast(jnp.asarray(pose[:2]), pose[2] + angles, house_map,
+                        5.0, hit_unknown=True),
+                angles,
+            )
+        finals[batching] = np.hypot(
+            est["pose3"][0] - pose[0], est["pose3"][1] - pose[1]
+        )
+    assert finals["per_scan"] < 0.3, finals
+    assert finals["per_message"] < 0.3, finals
+
+
+def test_online_reanchor_stream(house_map):
+    """The live map->odom re-anchoring loop (pose_broadcaster.py:22,88-105):
+    every scan with an available odom->base emits one transform, and
+    composing map->odom . odom->base reproduces the estimated pose."""
+    from mcmh_localization_tpu.viz import _pose_to_matrix
+
+    cfg = FilterConfig(
+        mode="MCL", num_particles=200, initialized=True,
+        initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+    )
+    loc = OnlineLocalizer(cfg, house_map, seed=0)
+    angles = jnp.linspace(-np.pi, np.pi, 90)
+    # no odom yet -> scan estimates but broadcasts nothing (the reference's
+    # failed TF lookup; deviation: we skip instead of crashing)
+    loc.on_scan(
+        raycast(jnp.asarray([1.0, -1.0]), 0.0 + angles, house_map, 5.0,
+                hit_unknown=True), angles)
+    assert loc.reanchor.latest() is None
+
+    pose = np.array([1.0, -1.0, 0.0])
+    odom = np.array([0.0, 0.0, 0.0])  # odom frame starts at the origin
+    for t in range(5):
+        for _ in range(3):
+            step = np.array([0.05 * np.cos(pose[2]),
+                             0.05 * np.sin(pose[2]), 0.02])
+            pose = pose + step
+            odom = odom + step
+            loc.on_odom(*odom)  # odom->base (drift-free here)
+        est = loc.on_scan(
+            raycast(jnp.asarray(pose[:2]), pose[2] + angles, house_map,
+                    5.0, hit_unknown=True), angles)
+    assert len(loc.reanchor.transforms) == 5
+    t = loc.reanchor.latest()
+    # recompose: T_map_base = T_map_odom @ T_odom_base must equal estimate
+    yaw_mo = 2 * np.arctan2(t["rotation"][2], t["rotation"][3])
+    t_mo = _pose_to_matrix(t["translation"][0], t["translation"][1], yaw_mo)
+    t_ob = _pose_to_matrix(*odom)
+    t_mb = t_mo @ t_ob
+    assert abs(t_mb[0, 3] - est["pose3"][0]) < 1e-5
+    assert abs(t_mb[1, 3] - est["pose3"][1]) < 1e-5
+    yaw_mb = np.arctan2(t_mb[1, 0], t_mb[0, 0])
+    d = (yaw_mb - est["pose3"][2] + np.pi) % (2 * np.pi) - np.pi
+    assert abs(d) < 1e-5
+    assert t["rotation"][3] >= 0  # w >= 0 (pose_broadcaster.py:83-84)
+
+
+def test_reanchor_staleness():
+    """stale_after rejects odom older than the estimate (the
+    ExtrapolationException analogue)."""
+    from mcmh_localization_tpu.viz import TFReanchorer
+
+    r = TFReanchorer(stale_after=0.5)
+    r.on_odom(1.0, 0.0, 0.0, stamp=10.0)
+    assert r.on_estimate((1.0, 0.0, 0.0), stamp=10.2) is not None
+    assert r.on_estimate((1.0, 0.0, 0.0), stamp=11.0) is None
+    assert len(r.transforms) == 1
+
+
 def test_online_set_initial_pose(house_map):
     cfg = FilterConfig(
         mode="MCL", num_particles=100, initialized=True,

@@ -355,6 +355,29 @@ def test_fused_expand_matches_two_step():
         got = expand_sorted(bound, particles, n, interpret=True)
         np.testing.assert_array_equal(want, np.asarray(got), err_msg=name)
 
+def test_exact_onehot_dot_triple_bitwise():
+    """The documented-negative 'triple' bf16 decomposition of the take dot
+    must stay bitwise-equal to the HIGHEST-precision single dot (ADVICE r3:
+    the branch was dead code; exercise it so the exactness claim stays
+    verified).  Covers values spanning many exponents and a one-hot with
+    empty columns (row WROWS = no straddling chunk)."""
+    from mcmh_localization_tpu.ops.rank_pallas import WROWS, _exact_onehot_dot
+
+    rng = np.random.default_rng(7)
+    e = 256
+    vals = jnp.asarray(
+        (rng.normal(size=(WROWS, 128)) * 10.0 ** rng.integers(
+            -6, 6, size=(WROWS, 128))).astype(np.float32)
+    )
+    rows = rng.integers(0, WROWS + 1, size=e)  # WROWS = empty column
+    oh = jnp.asarray(
+        (rows[None, :] == np.arange(WROWS)[:, None]).astype(np.float32)
+    )
+    hi = np.asarray(_exact_onehot_dot(vals, oh, mode="highest"))
+    tr = np.asarray(_exact_onehot_dot(vals, oh, mode="triple"))
+    np.testing.assert_array_equal(hi, tr)
+
+
 def test_fused_expand_window_boundary_exact():
     """A tile whose input span exactly equals the kernel window must route
     to the XLA fallback, not silently produce (0,0,0) particles (review
