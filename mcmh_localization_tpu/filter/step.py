@@ -63,6 +63,10 @@ class StepInfo:
     p_random: jnp.ndarray       # augmented-MCL injection probability
     w_slow: jnp.ndarray
     w_fast: jnp.ndarray
+    anchor_mass: jnp.ndarray    # total weight in the window anchor's
+                                # cluster — the mode-dominance signal the
+                                # staged runner shrinks/escalates on
+                                # (filter/staged.py); 1.0 when unimodal
 
 
 def state_size(config: FilterConfig) -> int:
@@ -332,7 +336,10 @@ def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
         d_th <= config.cluster_radius_theta
     )
     adopt = same_mode | (m_cand > m_cur)
-    return jnp.where(adopt, cand, anchor).astype(jnp.float32)
+    return (
+        jnp.where(adopt, cand, anchor).astype(jnp.float32),
+        jnp.where(adopt, m_cand, m_cur),
+    )
 
 
 def _transition_probabilities(state: FilterState, config: FilterConfig):
@@ -585,11 +592,10 @@ def _correct(
 
     # -- window anchor refresh (pre-resample weights identify modes;
     # post-resample they are uniform)
-    state = state.replace(
-        anchor=refresh_anchor(
-            state.particles, state.weights, state.anchor, config, mask
-        )
+    new_anchor, anchor_mass = refresh_anchor(
+        state.particles, state.weights, state.anchor, config, mask
     )
+    state = state.replace(anchor=new_anchor)
 
     # -- estimate BEFORE resampling (:327)
     if config.estimate_mode == "cluster":
@@ -622,6 +628,7 @@ def _correct(
         p_random=p_random,
         w_slow=state.w_slow,
         w_fast=state.w_fast,
+        anchor_mass=anchor_mass,
     )
     return state, info
 

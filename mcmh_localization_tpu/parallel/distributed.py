@@ -472,6 +472,7 @@ def _dist_step(
         d_th <= config.cluster_radius_theta
     )
     adopt = same_mode | (m_cand > m_cur)
+    anchor_mass = jnp.where(adopt, m_cand, m_cur)
     state = state.replace(
         anchor=jnp.where(adopt, cand, state.anchor).astype(jnp.float32)
     )
@@ -584,6 +585,7 @@ def _dist_step(
     info = StepInfo(
         estimate=est, ess=ess, accept_rate=accept_rate, count=state.count,
         p_random=p_random, w_slow=state.w_slow, w_fast=state.w_fast,
+        anchor_mass=anchor_mass,
     )
     return state, info
 

@@ -36,6 +36,7 @@ class MetricsLogger:
             "p_random": round(float(info.p_random), 6),
             "w_slow": float(info.w_slow),
             "w_fast": float(info.w_fast),
+            "anchor_mass": round(float(info.anchor_mass), 4),
         }
         if wall_ms is not None:
             rec["ms"] = round(wall_ms, 3)
@@ -55,6 +56,9 @@ class MetricsLogger:
                 "accept_rate": round(float(np.asarray(infos.accept_rate)[i]), 4),
                 "count": int(np.asarray(infos.count)[i]),
                 "p_random": round(float(np.asarray(infos.p_random)[i]), 6),
+                "anchor_mass": round(
+                    float(np.asarray(infos.anchor_mass)[i]), 4
+                ),
             }
             if times is not None:
                 rec["t"] = float(np.asarray(times)[i])

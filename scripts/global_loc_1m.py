@@ -9,12 +9,15 @@ framework's mode-finding extension.  This script records time-to-localize
 (first scan whose cluster estimate stays within 0.5 m of ground truth
 through the end) and the final error, on the real chip.
 
-The GLOBAL phase runs the full-map correlation field (corr_window_cells=0):
-a window centered on a multimodal cloud's mean sits BETWEEN modes, so every
-particle coarse-scores and the modes never resolve (measured: the windowed
-config's cluster estimate flickers among 7-13 m modes indefinitely on
-map_house).  The window is a converged-tracking optimization; global
-localization is the regime it documents itself out of.
+win=0 runs the round-3 single-program full-map configuration.  win>0 runs
+the WINDOWED flagship config through the STAGED runner (filter/staged.py,
+round-4): the global phase executes the full-map program (fair fine
+scoring for every mode — a window locked on one mode of a multimodal
+cloud leaves the others on the max-pooled-optimistic coarse fallback,
+where a symmetric decoy can neither die nor be confirmed; measured,
+scripts/diag_window_global.py), then hands off to the windowed
+small-capacity tracking program once one mode dominates, escalating back
+on injection / dominance decay.
 
 Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed] [win]
 Prints one JSON line for RESULTS.md.
@@ -73,9 +76,29 @@ def main():
         motion_validity="score", min_injection_prob=0.02,
     )
     t0 = time.perf_counter()
-    est, infos, wall = run_filter_on_bag(
-        bag, cfg, grid_map, jax.random.PRNGKey(seed + 100)
-    )
+    modes = None
+    if win:
+        from mcmh_localization_tpu.filter.staged import (
+            make_staged_model,
+            run_staged,
+        )
+        from mcmh_localization_tpu.sim.simulator import odometry_deltas
+
+        staged = make_staged_model(cfg, grid_map)
+        state = staged.init(jax.random.PRNGKey(seed + 100))
+        t1 = time.perf_counter()
+        out = run_staged(
+            staged, state, np.asarray(bag.ranges), np.asarray(bag.angles),
+            odometry_deltas(bag.odom),
+        )
+        wall = time.perf_counter() - t1
+        infos = out.infos
+        modes = out.modes
+        est = np.asarray(infos.estimate.mean)
+    else:
+        est, infos, wall = run_filter_on_bag(
+            bag, cfg, grid_map, jax.random.PRNGKey(seed + 100)
+        )
     total = time.perf_counter() - t0
     errs = np.hypot(est[:, 0] - bag.gt[:, 0], est[:, 1] - bag.gt[:, 1])
     ok = errs < 0.5
@@ -93,9 +116,13 @@ def main():
         "filter_wall_s": round(wall, 2),
         "total_wall_s": round(total, 2),
         "seed": seed,
+        "win": win,
+        "tracking_scans": int((modes == 1).sum()) if modes is not None else None,
     }), flush=True)
     print("err trace (every 5th):",
           np.round(errs[::5], 2).tolist(), file=sys.stderr)
+    if modes is not None:
+        print("modes (every 5th):", modes[::5].tolist(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,164 @@
+"""Staged two-program KLD execution (filter/staged.py): the static-shape
+answer to the reference's per-scan array reallocation
+(amcmh_localizer.py:520-522)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmh_localization_tpu.config import FilterConfig
+from mcmh_localization_tpu.filter.staged import (
+    default_tracking_capacity,
+    grow_state,
+    make_staged_model,
+    run_staged,
+    shrink_state,
+)
+from mcmh_localization_tpu.filter.step import make_model
+
+
+def _circle(t_steps, cx=2.5, cy=2.5, r=0.8):
+    ts = np.linspace(0, 2 * np.pi * t_steps / 40, t_steps)
+    return np.stack(
+        [cx + r * np.cos(ts), cy + r * np.sin(ts),
+         ((ts + np.pi / 2 + np.pi) % (2 * np.pi)) - np.pi], axis=1
+    ).astype(np.float32)
+
+
+def _cfg(**kw):
+    base = dict(
+        mode="AMHAMCL", num_particles=3000, min_particles=400,
+        max_particles=3000, initialized=True, max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        estimate_mode="cluster",
+    )
+    base.update(kw)
+    return FilterConfig(**base)
+
+
+def test_shrink_grow_roundtrip():
+    cfg = _cfg(initial_pose=(2.5, 2.5, 0.0))
+    from mcmh_localization_tpu.filter.state import make_state
+
+    rng = np.random.default_rng(0)
+    parts = jnp.asarray(rng.normal(size=(500, 3)).astype(np.float32))
+    st = make_state(parts, 500, jax.random.PRNGKey(0), 3000)
+    small = shrink_state(st, 1024)
+    assert small.particles.shape == (1024, 3)
+    assert int(small.count) == 500
+    np.testing.assert_array_equal(
+        np.asarray(small.particles[:500]), np.asarray(st.particles[:500])
+    )
+    back = grow_state(small, 3000)
+    assert back.particles.shape == (3000, 3)
+    np.testing.assert_array_equal(
+        np.asarray(back.particles[:500]), np.asarray(st.particles[:500])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.weights), np.asarray(st.weights)
+    )
+
+
+def test_default_capacity():
+    cfg = _cfg(initial_pose=(0.0, 0.0, 0.0))
+    cap = default_tracking_capacity(cfg)
+    assert cfg.min_particles < cap < 3000
+    assert cap % 1024 == 0
+
+
+def test_staged_rejects_non_adaptive(house_map):
+    with pytest.raises(ValueError, match="adaptive"):
+        make_staged_model(
+            FilterConfig(mode="MCL", num_particles=1000), house_map
+        )
+
+
+def test_staged_tracks_and_shrinks(house_map):
+    """Converged tracking collapses the KLD count, the runner switches to
+    the small program, and tracking parity holds vs the single big
+    program."""
+    from tests.test_filter import _simulate
+
+    poses = _circle(48)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = _cfg(initial_pose=tuple(map(float, poses[0])))
+    staged = make_staged_model(cfg, house_map, tracking_capacity=1024)
+    state = staged.init(jax.random.PRNGKey(3))
+    out = run_staged(staged, state, scans, angles, deltas, chunk=8)
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert np.mean(errs[-8:]) < 0.4, errs[-8:]
+    # it actually switched down and stayed there
+    assert out.modes[-1] == 1, out.modes
+    assert out.switches >= 1
+    # the KLD count decays over ~25 scans before it fits the small
+    # capacity; at least the last few chunks must run small
+    assert (out.modes == 1).sum() >= 8, out.modes
+    # parity with the big-only run
+    big = make_model(cfg, house_map)
+    _, infos_big = big.run(big.init(jax.random.PRNGKey(3)), scans, angles,
+                           deltas)
+    est_b = np.asarray(infos_big.estimate.mean)
+    errs_b = np.hypot(est_b[:, 0] - poses[:, 0], est_b[:, 1] - poses[:, 1])
+    assert abs(np.mean(errs[-8:]) - np.mean(errs_b[-8:])) < 0.3
+
+
+def test_staged_global_localization_windowed(house_map):
+    """Uniform-init global localization with the WINDOWED flagship config
+    through the staged runner: the big (full-field) program resolves the
+    multimodal phase, then hands off to the windowed tracking program
+    (round-4 item 1: one config survives every phase)."""
+    from tests.test_filter import _simulate, _square_trajectory
+
+    poses = np.asarray(list(_square_trajectory(48)), dtype=np.float32)
+    poses[:, 2] = ((poses[:, 2] + np.pi) % (2 * np.pi)) - np.pi
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=4000, min_particles=500,
+        max_particles=4000, initialized=False, max_range=5.0,
+        likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        corr_coarse_factor=4, corr_coarse_n_theta=36,
+        estimate_mode="cluster",
+        alpha1=0.02, alpha2=0.02, alpha3=0.05, alpha4=0.01,
+    )
+    staged = make_staged_model(cfg, house_map, tracking_capacity=1024)
+    state = staged.init(jax.random.PRNGKey(7))
+    out = run_staged(staged, state, scans, angles, deltas, chunk=8)
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert np.mean(errs[-6:]) < 0.35, errs[-6:]
+    # started big (full-field global phase)
+    assert out.modes[0] == 0
+
+
+def test_staged_escalates_on_kidnap(house_map):
+    """Mid-run kidnap while in the SMALL program: injection fires, the
+    runner escalates back to the big program, and the filter
+    re-localizes (the recovery capacity the shrink must not destroy)."""
+    from tests.test_filter import _simulate
+
+    t_a, t_b = 40, 56
+    p_a = _circle(t_a)
+    p_b = _circle(t_b, cx=-2.5, cy=-2.5)
+    poses = np.concatenate([p_a, p_b])
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    deltas = np.array(deltas)
+    deltas[t_a] = deltas[t_a + 1]  # odometry blind to the teleport
+    cfg = _cfg(
+        initial_pose=tuple(map(float, p_a[0])),
+        alpha_slow=0.05, alpha_fast=0.7,
+        ref_compat_kld_newbin_stop=True,
+    )
+    staged = make_staged_model(cfg, house_map, tracking_capacity=1024)
+    state = staged.init(jax.random.PRNGKey(4))
+    out = run_staged(staged, state, scans, angles, deltas, chunk=8)
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    # tracking pre-kidnap in the small program
+    assert out.modes[t_a - 1] == 1, out.modes[:t_a]
+    assert np.mean(errs[t_a - 5:t_a]) < 0.5
+    # escalated within two chunks of the kidnap
+    assert (out.modes[t_a:t_a + 16] == 0).any(), out.modes[t_a:t_a + 16]
+    # re-localized
+    assert np.mean(errs[-8:]) < 0.5, errs[-12:]
