@@ -350,8 +350,6 @@ def correlation_field_scores(
 
     # zero-pad + append an all-zero band of height h for invalid beams, plus
     # tile-alignment margins for the Pallas kernel's aligned window loads
-    if config.corr_field_dtype == "bfloat16":
-        log_field = log_field.astype(jnp.bfloat16)
     padded0 = jnp.pad(log_field, pad_cells)  # no margins (conv builder)
     zero_band_row = padded0.shape[0]
     padded = jnp.pad(padded0, ((0, h + 16), (0, 128)))
@@ -390,9 +388,7 @@ def correlation_field_scores(
         # rotates, XLA's conv lowering chokes on the large sparse stamp,
         # and the XLA slice builder materializes (M, h, w) stacks
         if jax.default_backend() == "tpu":
-            field_impl = "dft" if use_window else (
-                "pallas" if config.corr_field_dtype == "float32" else "xla"
-            )
+            field_impl = "dft" if use_window else "pallas"
         else:
             field_impl = "xla"
 

@@ -228,29 +228,6 @@ def test_corr_bin_center_alignment(house_map, default_config):
     assert np.abs(d.mean()) < 0.02, d.mean()
 
 
-def test_corr_bf16_field_close_to_f32(house_map, default_config):
-    pose = jnp.array([1.0, 1.0, 0.4])
-    ranges, angles = _scan_at(house_map, pose, m=120)
-    rng = np.random.default_rng(9)
-    particles = jnp.asarray(
-        np.stack([rng.uniform(-3, 3, 200), rng.uniform(-3, 3, 200),
-                  rng.uniform(-np.pi, np.pi, 200)], axis=1).astype(np.float32)
-    )
-    f32 = np.asarray(
-        correlation_field_scores(
-            particles, ranges, angles, house_map, default_config, n_theta=90
-        )
-    )
-    bf16 = np.asarray(
-        correlation_field_scores(
-            particles, ranges, angles, house_map,
-            default_config.replace(corr_field_dtype="bfloat16"), n_theta=90
-        )
-    )
-    assert np.abs(bf16 - f32).mean() < 0.02
-    assert np.corrcoef(bf16, f32)[0, 1] > 0.999
-
-
 def test_corr_coarse_fallback_scores_out_of_window(house_map, default_config):
     # with the coarse fallback on (default), an out-of-window particle at the
     # TRUE pose must outscore an out-of-window particle inside a wall, and
