@@ -283,6 +283,25 @@ class FilterConfig:
     estimate_mode: str = "mean"
     cluster_radius_xy: float = 0.5
     cluster_radius_theta: float = 1.0
+    # --- ESS-gated resampling with weight carry-over (round-4; documented
+    # deviation — the reference resamples EVERY scan and recomputes
+    # weights from scratch, amcmh_localizer.py:329-335 + :252-273) ---
+    # Below 1.0, the resample block (systematic/KLD draw + the fused
+    # expand kernel + injection) runs ONLY when ESS < threshold * count
+    # or augmented-MCL injection fires; on skipped scans the normalized
+    # posterior weights CARRY to the next scan, whose softmax folds
+    # log(carried) into the scores (standard adaptive resampling, Doucet
+    # et al.; after a resample the carry is uniform, so threshold=1.0 is
+    # bitwise-parity semantics).  MH acceptance is carry-invariant: the
+    # per-particle ratio w_post[i]/w_pre[i] multiplies the SAME carry
+    # into numerator and denominator (both sets share particle identity
+    # i), so it cancels exactly.  Measured steady-state tracking ESS is
+    # ~0.97 N (the resample is near-identity — which is WHY skipping it
+    # is sound), so the ~40% of the 1M step spent resampling amortizes
+    # away; the gate is a 0/1-iteration while_loop (lax.cond is
+    # speculated by XLA).  Single-chip step only: the shard_map
+    # distributed step ignores the knob and always resamples (= parity).
+    resample_ess_threshold: float = 1.0
     # --- OnlineLocalizer predict batching (round-4; reference anchor:
     # amcmh_localizer.py:379-408 runs one proposal per /odom message) ---
     # "per_message": reference semantics — every on_odom dispatches a
@@ -340,6 +359,11 @@ class FilterConfig:
         if self.predict_batching not in ("per_message", "per_scan"):
             raise ValueError(
                 f"unknown predict_batching {self.predict_batching!r}"
+            )
+        if not 0.0 < self.resample_ess_threshold <= 1.0:
+            raise ValueError(
+                "resample_ess_threshold must be in (0, 1] "
+                "(1.0 = resample every scan, reference parity)"
             )
         if self.corr_coarse_factor < 0:
             raise ValueError("corr_coarse_factor must be >= 0")

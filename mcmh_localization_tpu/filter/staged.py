@@ -86,6 +86,7 @@ def make_staged_model(
     tracking_capacity: int | None = None,
     voxel_map=None,
     global_scoring: str = "full",
+    tracking_ess_threshold: float | None = None,
 ) -> StagedModel:
     """Build the two compiled programs.  ``config`` must be adaptive
     (use_adaptive) — staging is the static-shape answer to the
@@ -93,7 +94,15 @@ def make_staged_model(
 
     ``global_scoring``: "full" (default) drops the corr/beam window in
     the BIG program so multimodal phases score every mode fairly (see
-    module doc); "windowed" keeps the given window in both programs."""
+    module doc); "windowed" keeps the given window in both programs.
+
+    ``tracking_ess_threshold``: ESS-gated resampling for the SMALL
+    (tracking) program only (config.resample_ess_threshold semantics).
+    Staging is the right scope for the gate: measured single-program
+    kidnap runs with a gate let the losing mode linger (fewer resample
+    events to drain it — estimate flips between modes), while here any
+    recovery escalates to the BIG program, which always keeps per-scan
+    parity resampling."""
     if not config.use_adaptive:
         raise ValueError(
             "make_staged_model needs an adaptive mode (AMCL/*AMCL): "
@@ -126,6 +135,10 @@ def make_staged_model(
     small_config = config.replace(
         num_particles=min(config.num_particles, cap),
         max_particles=cap,
+        **(
+            {"resample_ess_threshold": tracking_ess_threshold}
+            if tracking_ess_threshold is not None else {}
+        ),
     )
     big = make_model(big_config, grid_map, voxel_map=voxel_map)
     small = make_model(small_config, grid_map, voxel_map=voxel_map)

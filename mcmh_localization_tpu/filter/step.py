@@ -354,10 +354,19 @@ def _transition_probabilities(state: FilterState, config: FilterConfig):
 def _resample_systematic(key, state: FilterState, config: FilterConfig):
     """Non-adaptive path (resample_lvr, amcmh_localizer.py:488-492): LVR to
     the fixed particle count; weights left untouched like the reference
-    (the next step recomputes them from scratch anyway)."""
+    (the next step recomputes them from scratch anyway) — EXCEPT under
+    ESS-gated carry-over, where the next step folds the stored weights
+    into its softmax: resampled particles already encode them, so they
+    reset to uniform (double-counting otherwise)."""
     resampled = systematic_resample_particles(
         key, state.particles, state.weights, state.n_max, count=state.count
     )
+    if config.resample_ess_threshold < 1.0:
+        mask = jnp.arange(state.n_max) < state.count
+        weights = jnp.where(
+            mask, 1.0 / jnp.maximum(state.count, 1), 0.0
+        ).astype(jnp.float32)
+        return state.replace(particles=resampled, weights=weights), jnp.float32(0.0)
     return state.replace(particles=resampled), jnp.float32(0.0)
 
 
@@ -520,6 +529,17 @@ def _correct(
 
         score = wrap_score_with_validity(score, grid_map, config, ranges)
 
+    # ESS-gated resampling (config.resample_ess_threshold < 1): fold the
+    # CARRIED posterior into the softmax logits.  After a resample the
+    # carry is uniform over active slots, so the addend is a constant and
+    # the weights equal the reference's fresh softmax; on skipped scans
+    # the carry is the previous posterior and the softmax composes it
+    # with the new scores.  MH acceptance is carry-invariant (same carry
+    # term in w_post[i] and w_pre[i] — see config.py).
+    carry_on = config.resample_ess_threshold < 1.0
+    log_carry = (
+        jnp.log(jnp.maximum(state.weights, 1e-30)) if carry_on else 0.0
+    )
     if config.use_mh:
         # ONE scorer invocation for both sets: the field build is shared and
         # the lookup kernel's fixed per-invocation cost is paid once
@@ -527,11 +547,11 @@ def _correct(
         prev_sc = jnp.where(mask[:, None], state.prev_particles, anchor)
         s_both = score(jnp.concatenate([p_sc, prev_sc]))
         s_post = s_both[:n_max]
-        weights_post = softmax_weights(s_post, mask)
-        weights_pre = softmax_weights(s_both[n_max:], mask)
+        weights_post = softmax_weights(s_post + log_carry, mask)
+        weights_pre = softmax_weights(s_both[n_max:] + log_carry, mask)
     else:
         s_post = score(p_sc)
-        weights_post = softmax_weights(s_post, mask)
+        weights_post = softmax_weights(s_post + log_carry, mask)
     if config.use_mh:
         if config.asymmetric:
             fwd, bwd = _transition_probabilities(state, config)
@@ -615,9 +635,47 @@ def _correct(
             "simple": _resample_amcl_simple,
             "lvr": _resample_amcl_lvr,
         }[config.adaptive_resampler]
-        state, p_random = resampler(k_rs, state, grid_map, config)
+        do_resample = functools.partial(
+            resampler, k_rs, grid_map=grid_map, config=config
+        )
     else:
-        state, p_random = _resample_systematic(k_rs, state, config)
+        do_resample = functools.partial(_resample_systematic, k_rs,
+                                        config=config)
+    if config.resample_ess_threshold < 1.0:
+        # ESS gate: run the whole resample block (draws + fused expand +
+        # injection) only when the weights have degenerated past the
+        # threshold or augmented-MCL wants to inject.  0/1-iteration
+        # while_loop, NOT lax.cond — XLA speculates cond and would
+        # execute the resample anyway (see kld_resample / the coarse
+        # field gate).
+        if config.use_adaptive:
+            p_gate = jnp.maximum(
+                0.0, 1.0 - state.w_fast / (state.w_slow + 1e-9)
+            )
+            p_gate = jnp.where(
+                p_gate >= config.min_injection_prob, p_gate, 0.0
+            )
+        else:
+            p_gate = jnp.float32(0.0)
+        need = (
+            ess < config.resample_ess_threshold
+            * state.count.astype(jnp.float32)
+        ) | (p_gate > 0)
+
+        def _wcond(c):
+            return jnp.logical_not(c[0])
+
+        def _wbody(c):
+            _, st, _ = c
+            st, p_r = do_resample(st)
+            return jnp.bool_(True), st, p_r
+
+        _, state, p_random = jax.lax.while_loop(
+            _wcond, _wbody,
+            (jnp.logical_not(need), state, jnp.float32(0.0)),
+        )
+    else:
+        state, p_random = do_resample(state)
 
     state = state.replace(key=key)
     info = StepInfo(
