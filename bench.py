@@ -218,11 +218,65 @@ def main():
     # 1M-slot arrays whatever the active count settles to (that shrink is
     # KLD's purpose).  kld_eval_window=0 = the EXACT escalating
     # prefix-draw evaluation (ops/resampling.py), no one-sided deviation.
+    # NOTE: this row times the SINGLE-program adaptive path (1M-slot
+    # arrays at ~100k active); the staged runner's steady state is the
+    # row after it (filter/staged.py — the shipped way to run 1M KLD).
     ms_kld = run_config(1_000_000, min_particles_override=100_000,
                         kld_eval_window=0, coarse_gate_escapees=0,
                         **flagship)
     _emit(f"amhamcl_step_ms_1m_kld_adaptive_{N_BEAMS}beams_win128", ms_kld,
           1_000_000)
+
+    # STAGED 1M-KLD steady-state tracking (filter/staged.py): after KLD
+    # settles at min=100k, the runner hands the prefix-packed state to the
+    # SMALL compiled program (1.3x min capacity, windowed scorer, ESS-gated
+    # resampling at 0.9); kidnap/global phases escalate back to the 1M
+    # full-field program (tested: tests/test_staged.py, test_ess_gate.py).
+    # This row times the small program the runner actually executes in
+    # steady state, with the count KLD settles to; vs_baseline stays
+    # against the 1M north-star because the pipeline serves 1M-capacity
+    # KLD semantics (VERDICT r3 item 2's deliverable).
+    from mcmh_localization_tpu.filter.staged import (
+        make_staged_model, run_staged,
+    )
+
+    cfg_kld = FilterConfig(
+        mode="AMHAMCL", num_particles=1_000_000, min_particles=100_000,
+        max_particles=1_000_000, initialized=True,
+        initial_pose=(0.0, 0.0, 0.3), kld_eval_window=0,
+        coarse_gate_escapees=0, **flagship,
+    )
+    staged = make_staged_model(cfg_kld, grid_map,
+                               tracking_ess_threshold=0.9)
+    state_b = staged.big.init(jax.random.PRNGKey(0))
+    rot = np.pi / SCAN_LEN
+    delta = jax.numpy.asarray([rot, 0.05, rot], dtype=jax.numpy.float32)
+    angles = jax.numpy.linspace(-np.pi, np.pi, N_BEAMS,
+                                dtype=jax.numpy.float32)
+    ranges_seq = _tracking_scans(grid_map, cfg_kld, angles, delta,
+                                 (0.0, 0.0, 0.3))
+    # settle: run the staged runner until it is IN the small program
+    out = run_staged(staged, state_b,
+                     np.tile(np.asarray(ranges_seq), (4, 1)), angles,
+                     np.tile(np.asarray(delta), (4 * SCAN_LEN, 1)),
+                     chunk=SCAN_LEN)
+    assert out.modes[-1] == 1, "staged runner did not settle into tracking"
+    import sys as _s
+    print(f"[bench] staged settle: modes={out.modes.tolist()}",
+          file=_s.stderr)
+    ms_staged = _time_step(staged.small.step, out.state, ranges_seq,
+                           angles, delta)
+    _emit(f"amhamcl_step_ms_1m_kld_staged_tracking_{N_BEAMS}beams_win128",
+          ms_staged, 1_000_000)
+
+    # 1M full-population flagship + the ESS resample gate (documented
+    # deviation, config.py::resample_ess_threshold): steady-state ESS
+    # decays ~3%/scan, so the whole resample block (KLD draws + fused
+    # expand + injection) fires every ~3-4 scans instead of every scan
+    ms_1m_gate = run_config(1_000_000, coarse_gate_escapees=0,
+                            resample_ess_threshold=0.9, **flagship)
+    _emit(f"amhamcl_step_ms_1m_particles_{N_BEAMS}beams_win128_essgate",
+          ms_1m_gate, 1_000_000)
 
     # exact-gather scorer at 100k (no corr approximation)
     ms_exact = run_config(100_000, likelihood_impl="jnp")

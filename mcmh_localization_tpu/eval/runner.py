@@ -107,6 +107,48 @@ def _with_init(cfg: FilterConfig, args, bag: Bag) -> FilterConfig:
     return cfg.replace(initialized=True, initial_pose=tuple(float(v) for v in bag.gt[0]))
 
 
+def _run_with_frames(bag: Bag, config: FilterConfig, grid_map, key, args):
+    """Step-by-step run with live visualization frames — the library
+    equivalent of watching the run in RViz (the MarkerArray stream,
+    amcmh_localizer.py:538-581): per-scan particle cloud + estimate trail
+    + ground truth, written to --save-frames/frame_*.png and assembled
+    into run.gif.  Slower than the scanned run (one dispatch per scan +
+    host-side rendering) — a viewing mode, not a benchmark."""
+    import time as _time
+
+    from mcmh_localization_tpu.viz import FrameRecorder
+
+    model = make_model(config, grid_map)
+    state = model.init(key)
+    deltas = odometry_deltas(bag.odom)
+    rec = FrameRecorder(
+        grid_map, args.save_frames, every=args.frame_every, gt=bag.gt
+    )
+    est = np.zeros((len(bag.times), 3), np.float32)
+    infos = []
+    angles = np.asarray(bag.angles)
+    t0 = _time.perf_counter()
+    for t in range(len(bag.times)):
+        state, info = model.step(
+            state, np.asarray(bag.ranges[t]), angles, deltas[t]
+        )
+        mean = np.asarray(info.estimate.mean)
+        est[t] = mean
+        infos.append(info)
+        rec.update(state.particles, state.weights, estimate=mean,
+                   count=int(state.count))
+    wall = _time.perf_counter() - t0
+    gif = rec.to_gif()
+    print(f"frames: {len(rec.frames)} -> {args.save_frames}"
+          + (f" (animation: {gif})" if gif else ""))
+    import jax as _jax
+
+    stacked = _jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *infos
+    )
+    return est, stacked, wall
+
+
 def cmd_single(args):
     grid_map = load_map(args.map)
     key = jax.random.PRNGKey(args.seed)
@@ -117,7 +159,10 @@ def cmd_single(args):
         num_particles=args.particles,
     )
     cfg = _with_init(cfg, args, bag)
-    est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, k_run)
+    if getattr(args, "save_frames", None):
+        est, infos, wall = _run_with_frames(bag, cfg, grid_map, k_run, args)
+    else:
+        est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, k_run)
     result = evaluate_run(bag.times, est, bag.gt)
     name = args.result_name or f"{args.scenario}_{args.mode}_run0"
     path = save_results(result, name, args.results_dir)
@@ -217,6 +262,11 @@ def build_parser():
     s.add_argument("--mode", default="AMHAMCL", choices=MODES)
     s.add_argument("--scenario", default="square", choices=sorted(SCENARIOS))
     s.add_argument("--result-name", default=None)
+    s.add_argument("--save-frames", default=None, metavar="DIR",
+                   help="live view: write per-scan particle frames + GIF "
+                        "(the RViz MarkerArray stream equivalent)")
+    s.add_argument("--frame-every", type=int, default=1,
+                   help="render every N-th scan with --save-frames")
     s.add_argument("--metrics", action="store_true",
                    help="write per-step JSONL metrics next to the results")
     s.set_defaults(fn=cmd_single)

@@ -120,3 +120,65 @@ def simulate_bag(
         max_range=float(max_range),
         meta={"name": name, "n_beams": n_beams, "rate": rate},
     )
+
+
+def drive_bag(
+    key: jax.Array,
+    grid_map,
+    commands,
+    duration: float | None = None,
+    rate: float = 5.0,
+    start_pose=(0.0, 0.0, 0.0),
+    clearance: float = 0.15,
+    name: str = "drive",
+    **sim_kwargs,
+) -> Bag:
+    """Interactive (v, omega) command-stream driving — the library
+    equivalent of the reference's Gazebo + keyboard-teleop live sim
+    (mcmh_localization.launch:8-46, where /cmd_vel drives the robot and
+    the localizer consumes the resulting /scan + /odom).
+
+    ``commands`` is either an (T, 2) array of per-tick (v, omega) — an
+    open-loop recorded teleop stream — or a callable
+    ``controller(t_seconds, pose3) -> (v, omega)`` for closed-loop
+    driving (``duration`` required then).  Unicycle integration at
+    ``rate`` Hz with wall collision: a commanded translation into a cell
+    closer than ``clearance`` to an obstacle is dropped for that tick
+    (the robot 'bumps and stops', rotation still applies), matching how
+    a teleoped TurtleBot cannot drive through walls.  The resulting
+    ground-truth trajectory feeds :func:`simulate_bag` (scans + noisy
+    odometry), so every downstream consumer (filter, evaluator, bag
+    save/replay) works unchanged."""
+    pose = np.asarray(start_pose, dtype=np.float32).copy()
+    dt = 1.0 / rate
+    if callable(commands):
+        if duration is None:
+            raise ValueError("duration is required with a controller callable")
+        t_steps = int(round(duration * rate))
+        get = lambda t: commands(t * dt, pose.copy())  # noqa: E731
+    else:
+        commands = np.asarray(commands, dtype=np.float32)
+        t_steps = len(commands)
+        get = lambda t: commands[t]  # noqa: E731
+
+    def _clear(x, y):
+        mx = int((x - float(grid_map.origin[0])) / float(grid_map.resolution))
+        my = int((y - float(grid_map.origin[1])) / float(grid_map.resolution))
+        h, w = grid_map.distance.shape
+        if not (0 <= mx < w and 0 <= my < h):
+            return 0.0
+        return float(grid_map.distance[my, mx])
+
+    poses = [pose.copy()]
+    for t in range(t_steps - 1):
+        v, w = get(t)
+        th = pose[2] + 0.5 * w * dt  # midpoint heading for the arc
+        nx = pose[0] + v * dt * np.cos(th)
+        ny = pose[1] + v * dt * np.sin(th)
+        if _clear(nx, ny) >= clearance:
+            pose[0], pose[1] = nx, ny
+        pose[2] = float(normalize_angle(np.float32(pose[2] + w * dt)))
+        poses.append(pose.copy())
+    return simulate_bag(
+        key, grid_map, np.asarray(poses), rate=rate, name=name, **sim_kwargs
+    )

@@ -123,6 +123,87 @@ def map_to_odom_transform(
     return trans, quat
 
 
+class FrameRecorder:
+    """Live (during-run) particle visualization — the library stand-in for
+    the reference's per-scan weight-colored MarkerArray stream into RViz
+    (publish_particles, amcmh_localizer.py:538-581 + app/rviz/
+    mcmh_view.rviz).  Every ``every``-th ``update`` renders the current
+    cloud + estimate trail to a PNG frame in ``out_dir``; ``to_gif``
+    assembles the frames into an animation.  Works headless (Agg)."""
+
+    def __init__(self, grid_map, out_dir: str, every: int = 1,
+                 gt=None, max_particles: int = 20000):
+        import os
+
+        self.grid_map = grid_map
+        self.out_dir = out_dir
+        self.every = max(int(every), 1)
+        self.gt = None if gt is None else np.asarray(gt)
+        self.max_particles = max_particles
+        self.frames: list = []
+        self.trail: list = []
+        self._step = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, particles, weights, estimate=None, count=None):
+        import os
+
+        step = self._step
+        self._step += 1
+        if estimate is not None:
+            self.trail.append(np.asarray(estimate)[:2])
+        if step % self.every:
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        particles = np.asarray(particles)
+        weights = np.asarray(weights)
+        if count is not None:
+            particles = particles[: int(count)]
+            weights = weights[: int(count)]
+        if len(particles) > self.max_particles:
+            # deterministic thinning keeps frames light at 1M particles
+            stride = len(particles) // self.max_particles
+            particles = particles[::stride]
+            weights = weights[::stride]
+        fig, ax = plt.subplots(figsize=(6, 6))
+        plot_particles(self.grid_map, particles, weights,
+                       estimate=estimate, ax=ax)
+        if self.gt is not None and step < len(self.gt):
+            ax.plot(self.gt[: step + 1, 0], self.gt[: step + 1, 1],
+                    "c-", lw=0.8, label="ground truth")
+            ax.plot(self.gt[step, 0], self.gt[step, 1], "co", ms=5)
+        if len(self.trail) > 1:
+            tr = np.asarray(self.trail)
+            ax.plot(tr[:, 0], tr[:, 1], "g-", lw=0.8)
+        ax.set_title(f"scan {step}")
+        path = os.path.join(self.out_dir, f"frame_{step:05d}.png")
+        fig.savefig(path, dpi=90, bbox_inches="tight")
+        plt.close(fig)
+        self.frames.append(path)
+        return path
+
+    def to_gif(self, path: str | None = None, fps: float = 5.0):
+        """Assemble recorded frames into an animated GIF (PIL)."""
+        import os
+
+        if not self.frames:
+            return None
+        if path is None:
+            path = os.path.join(self.out_dir, "run.gif")
+        from PIL import Image
+
+        ims = [Image.open(f) for f in self.frames]
+        ims[0].save(
+            path, save_all=True, append_images=ims[1:],
+            duration=int(1000 / fps), loop=0,
+        )
+        return path
+
+
 class TFReanchorer:
     """Live map->odom re-anchoring loop — the PoseBroadcaster node as a
     stream helper (pose_broadcaster.py:22,31-41,88-105; closes SURVEY.md

@@ -142,3 +142,60 @@ def test_plots_report(tmp_path):
     assert os.path.exists(tmp_path / "plots" / "square_error_vs_time.png")
     html2 = plot_sweep_report(str(tmp_path))
     assert os.path.exists(html2)
+
+
+def test_drive_bag_command_stream(house_map):
+    """(v, omega) command-stream driving (drive_bag) — the teleop/Gazebo
+    live-sim equivalent (mcmh_localization.launch:8-46): closed-loop
+    controller moves the robot, walls stop translation, and the bag feeds
+    the filter unchanged."""
+    from mcmh_localization_tpu.sim.simulator import drive_bag
+
+    def ctrl(t, pose):
+        return (0.25, 0.6 if (t % 3) < 1.0 else 0.0)
+
+    bag = drive_bag(jax.random.PRNGKey(0), house_map, ctrl, duration=6.0,
+                    rate=5.0, start_pose=(1.0, -1.0, 0.0), n_beams=90)
+    assert bag.ranges.shape == (30, 90)
+    assert np.ptp(bag.gt[:, 0]) > 0.2  # it actually drove
+    # wall collision: full-throttle into the wall stops at the wall
+    cmds = np.tile([[1.0, 0.0]], (40, 1))
+    bag_wall = drive_bag(jax.random.PRNGKey(1), house_map, cmds,
+                         start_pose=(1.0, -1.0, 0.0), n_beams=30)
+    assert np.all(np.isfinite(bag_wall.gt))
+    from mcmh_localization_tpu.maps.grid_map import GridMap  # noqa: F401
+    d = np.asarray(house_map.distance)
+    res = float(house_map.resolution)
+    for x, y, _ in bag_wall.gt:
+        mx = int((x - float(house_map.origin[0])) / res)
+        my = int((y - float(house_map.origin[1])) / res)
+        assert d[my, mx] >= 0.15 - 1e-6  # never inside the clearance band
+
+    # open-loop array form + filter consumption
+    cfg = FilterConfig(mode="MCL", num_particles=300, initialized=True,
+                       initial_pose=(1.0, -1.0, 0.0), max_range=5.0)
+    est, infos, wall = run_filter_on_bag(bag, cfg, house_map,
+                                         jax.random.PRNGKey(2))
+    errs = np.hypot(est[:, 0] - bag.gt[:, 0], est[:, 1] - bag.gt[:, 1])
+    assert errs[-1] < 0.4, errs[-5:]
+
+
+def test_frame_recorder_live_view(house_map, small_bag, tmp_path):
+    """FrameRecorder (live RViz-equivalent view): frames every N scans +
+    GIF assembly, via the runner's --save-frames path."""
+    import argparse
+
+    from mcmh_localization_tpu.eval.runner import _run_with_frames
+
+    cfg = FilterConfig(mode="MCL", num_particles=200, initialized=True,
+                       initial_pose=tuple(map(float, small_bag.gt[0])),
+                       max_range=small_bag.max_range)
+    args = argparse.Namespace(save_frames=str(tmp_path / "frames"),
+                              frame_every=3)
+    est, infos, wall = _run_with_frames(
+        small_bag, cfg, house_map, jax.random.PRNGKey(0), args)
+    frames = sorted(os.listdir(tmp_path / "frames"))
+    pngs = [f for f in frames if f.endswith(".png")]
+    assert len(pngs) == -(-len(small_bag.times) // 3)
+    assert "run.gif" in frames
+    assert est.shape == (len(small_bag.times), 3)
