@@ -34,13 +34,37 @@ class OnlineLocalizer:
         seed: int = 0,
         initial_pose=None,
         voxel_map=None,
+        staged: bool = False,
+        tracking_capacity: int | None = None,
+        tracking_ess_threshold: float | None = None,
     ):
         """``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is
         then the 2-D navigation slice; on_scan's ``angles`` becomes the
-        (M, 2) [azimuth, elevation] direction array)."""
+        (M, 2) [azimuth, elevation] direction array).
+
+        ``staged=True`` runs the two-program execution (filter/staged.py)
+        online: global/recovery phases use the full-capacity full-field
+        program, converged tracking the small windowed one, switching
+        per scan on the same count/injection/mode-dominance policy as
+        run_staged.  Requires an adaptive mode."""
         self.config = config
         self.grid_map = grid_map
-        self.model = make_model(config, grid_map, voxel_map=voxel_map)
+        self.staged = None
+        if staged:
+            from mcmh_localization_tpu.filter.staged import make_staged_model
+            from mcmh_localization_tpu.filter.step import state_size
+
+            self.staged = make_staged_model(
+                config, grid_map, tracking_capacity=tracking_capacity,
+                voxel_map=voxel_map,
+                tracking_ess_threshold=tracking_ess_threshold,
+            )
+            self._cap = state_size(self.staged.small_config)
+            self._n_big = state_size(self.staged.config)
+            self._in_small = False
+            self.model = self.staged.big
+        else:
+            self.model = make_model(config, grid_map, voxel_map=voxel_map)
         self.state = self.model.init(
             jax.random.PRNGKey(seed), initial_pose=initial_pose
         )
@@ -60,6 +84,10 @@ class OnlineLocalizer:
     def set_initial_pose(self, x: float, y: float, yaw: float, seed: int = 1):
         """Re-initialize around a pose (the /initial_pose callback,
         amcmh_localizer.py:199-208)."""
+        if self.staged is not None:
+            # re-initialization is a global event: back to the big program
+            self.model = self.staged.big
+            self._in_small = False
         self.state = self.model.init(
             jax.random.PRNGKey(seed), initial_pose=jnp.asarray([x, y, yaw])
         )
@@ -114,6 +142,24 @@ class OnlineLocalizer:
             self._predicted_from = self._last_odom
         self.state, info = self.model.correct(self.state, ranges, angles)
         self.last_info = info
+        if self.staged is not None:
+            from mcmh_localization_tpu.filter.staged import (
+                grow_state,
+                next_stage,
+                shrink_state,
+            )
+
+            nxt = next_stage(
+                self._in_small, info.count, info.p_random,
+                info.anchor_mass, self._cap,
+            )
+            if nxt and not self._in_small:
+                self.state = shrink_state(self.state, self._cap)
+                self.model = self.staged.small
+            elif self._in_small and not nxt:
+                self.state = grow_state(self.state, self._n_big)
+                self.model = self.staged.big
+            self._in_small = nxt
         est = self.estimate()
         if est:
             # the pose_broadcaster loop: one map->odom re-anchor per

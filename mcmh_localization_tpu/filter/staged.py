@@ -173,6 +173,42 @@ def grow_state(state: FilterState, n_big: int) -> FilterState:
     )
 
 
+def next_stage(
+    in_small: bool,
+    counts,
+    p_rand,
+    mass,
+    cap: int,
+    shrink_margin: float = 0.9,
+    escalate_p_random: float = 1e-6,
+    shrink_mass: float = 0.6,
+    escalate_mass: float = 0.35,
+) -> bool:
+    """The stage-switch policy over a window of StepInfo scalars (arrays
+    over the last chunk; scalars work too).  Returns the next in_small.
+    Shared by run_staged and OnlineLocalizer's staged mode."""
+    counts = np.atleast_1d(np.asarray(counts))
+    p_rand = np.atleast_1d(np.asarray(p_rand))
+    mass = np.atleast_1d(np.asarray(mass))
+    if in_small:
+        if (
+            counts.max() >= cap
+            or p_rand.max() > escalate_p_random
+            or mass.min() < escalate_mass
+        ):
+            return False
+        return True
+    # never shrink mid-recovery (active injection) or without a dominant
+    # mode (the windowed program cannot adjudicate between modes)
+    if (
+        counts.max() <= int(shrink_margin * cap)
+        and p_rand.max() <= escalate_p_random
+        and mass.min() >= shrink_mass
+    ):
+        return True
+    return False
+
+
 class StagedRun(NamedTuple):
     state: FilterState
     infos: object          # stacked StepInfo over all T scans
@@ -220,32 +256,20 @@ def run_staged(
         )
         infos_chunks.append(infos)
         modes[t:t + tc] = 1 if in_small else 0
-        counts = np.asarray(infos.count)
-        p_rand = np.asarray(infos.p_random)
-        mass = np.asarray(infos.anchor_mass)
-        if in_small:
-            if (
-                counts.max() >= cap
-                or p_rand.max() > escalate_p_random
-                or mass.min() < escalate_mass
-            ):
-                state = grow_state(state, n_big)
-                in_small = False
-                switches += 1
-        else:
-            # never shrink mid-recovery: active injection (p_random > 0)
-            # means the NEXT scans need room for injected diversity even
-            # if this chunk's counts already fit; and never without a
-            # dominant mode (the windowed program cannot adjudicate
-            # between modes — see module doc)
-            if (
-                counts.max() <= int(shrink_margin * cap)
-                and p_rand.max() <= escalate_p_random
-                and mass.min() >= shrink_mass
-            ):
-                state = shrink_state(state, cap)
-                in_small = True
-                switches += 1
+        nxt = next_stage(
+            in_small, np.asarray(infos.count), np.asarray(infos.p_random),
+            np.asarray(infos.anchor_mass), cap,
+            shrink_margin=shrink_margin,
+            escalate_p_random=escalate_p_random,
+            shrink_mass=shrink_mass, escalate_mass=escalate_mass,
+        )
+        if nxt and not in_small:
+            state = shrink_state(state, cap)
+            switches += 1
+        elif in_small and not nxt:
+            state = grow_state(state, n_big)
+            switches += 1
+        in_small = nxt
         t += tc
 
     infos = jax.tree_util.tree_map(

@@ -156,3 +156,40 @@ def test_online_set_initial_pose(house_map):
     parts, _ = loc.particles()
     np.testing.assert_allclose(parts[:, 0].mean(), 2.0, atol=0.2)
     np.testing.assert_allclose(parts[:, 1].mean(), 1.0, atol=0.2)
+
+
+def test_online_staged_tracks_and_shrinks(house_map):
+    """OnlineLocalizer(staged=True): converged tracking hands off to the
+    small windowed program per scan; recovery events (set_initial_pose)
+    return to the big one."""
+    from mcmh_localization_tpu.models.sensor import raycast as _rc
+
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=2000, min_particles=300,
+        max_particles=2000, initialized=True, initial_pose=(1.0, -1.0, 0.0),
+        max_range=5.0, likelihood_impl="corr", corr_n_theta=90,
+        corr_window_cells=96, estimate_mode="cluster",
+    )
+    loc = OnlineLocalizer(cfg, house_map, seed=0, staged=True,
+                          tracking_capacity=1024,
+                          tracking_ess_threshold=0.9)
+    angles = jnp.linspace(-np.pi, np.pi, 90)
+    pose = np.array([1.0, -1.0, 0.0])
+    est = None
+    for t in range(40):
+        for _ in range(3):
+            pose = pose + [0.04 * np.cos(pose[2]), 0.04 * np.sin(pose[2]),
+                           0.02]
+            pose[2] = (pose[2] + np.pi) % (2 * np.pi) - np.pi
+            loc.on_odom(*pose)
+        est = loc.on_scan(
+            _rc(jnp.asarray(pose[:2]), pose[2] + angles, house_map, 5.0,
+                hit_unknown=True), angles)
+    assert loc._in_small, "never handed off to the tracking program"
+    assert loc.state.particles.shape[0] == 1024
+    err = np.hypot(est["pose3"][0] - pose[0], est["pose3"][1] - pose[1])
+    assert err < 0.3, (est["pose3"], pose)
+    # a re-initialization is a global event: back to the big program
+    loc.set_initial_pose(2.0, 1.0, 0.3)
+    assert not loc._in_small
+    assert loc.state.particles.shape[0] == 2000
