@@ -71,10 +71,12 @@ def test_refresh_anchor_rejects_lone_outlier():
     cfg = FilterConfig(mode="MCL", num_particles=401)
     mask = jnp.ones(401, bool)
     anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)
-    out = np.asarray(refresh_anchor(
+    out, mass = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
         anchor, cfg, mask,
-    ))
+    )
+    out = np.asarray(out)
+    assert 0.0 <= float(mass) <= 1.0 + 1e-6
     assert np.allclose(out, np.asarray(anchor)), out
 
 
@@ -87,10 +89,12 @@ def test_refresh_anchor_migrates_to_heavier_mode():
     cfg = FilterConfig(mode="MCL", num_particles=400)
     mask = jnp.ones(400, bool)
     anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)  # stale mode B
-    out = np.asarray(refresh_anchor(
+    out, mass = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
         anchor, cfg, mask,
-    ))
+    )
+    out = np.asarray(out)
+    assert 0.0 <= float(mass) <= 1.0 + 1e-6
     assert np.hypot(out[0] - 2.0, out[1] - 2.0) < 0.5, out
 
 
@@ -104,10 +108,12 @@ def test_refresh_anchor_recenters_within_mode():
     cfg = FilterConfig(mode="MCL", num_particles=200)
     mask = jnp.ones(200, bool)
     anchor = jnp.asarray([1.1, 0.9, 0.25], jnp.float32)  # drifted, in-cluster
-    out = np.asarray(refresh_anchor(
+    out, mass = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
         anchor, cfg, mask,
-    ))
+    )
+    out = np.asarray(out)
+    assert 0.0 <= float(mass) <= 1.0 + 1e-6
     top = parts[int(np.argmax(w))]
     assert np.allclose(out, top, atol=1e-6), (out, top)
 
