@@ -278,6 +278,11 @@ def main():
     _emit(f"amhamcl_step_ms_1m_particles_{N_BEAMS}beams_win128_essgate",
           ms_1m_gate, 1_000_000)
 
+    ms_100k_gate = run_config(100_000, resample_ess_threshold=0.9,
+                              **flagship)
+    _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_win128_essgate",
+          ms_100k_gate, 100_000)
+
     # exact-gather scorer at 100k (no corr approximation)
     ms_exact = run_config(100_000, likelihood_impl="jnp")
     _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_exact", ms_exact,

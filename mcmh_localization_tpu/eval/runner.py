@@ -161,6 +161,25 @@ def cmd_single(args):
     cfg = _with_init(cfg, args, bag)
     if getattr(args, "save_frames", None):
         est, infos, wall = _run_with_frames(bag, cfg, grid_map, k_run, args)
+    elif getattr(args, "staged", False):
+        # two-program execution (filter/staged.py): full-field global /
+        # windowed tracking with host hand-off
+        from mcmh_localization_tpu.filter.staged import (
+            make_staged_model,
+            run_staged,
+        )
+
+        staged = make_staged_model(cfg, grid_map)
+        state = staged.init(k_run)
+        deltas = odometry_deltas(bag.odom)
+        t0 = time.perf_counter()
+        out = run_staged(staged, state, np.asarray(bag.ranges),
+                         np.asarray(bag.angles), deltas)
+        wall = time.perf_counter() - t0
+        infos = out.infos
+        est = np.asarray(infos.estimate.mean)
+        print(f"staged: {int((out.modes == 1).sum())}/{len(out.modes)} "
+              f"scans in the tracking program, {out.switches} switches")
     else:
         est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, k_run)
     result = evaluate_run(bag.times, est, bag.gt)
@@ -262,6 +281,10 @@ def build_parser():
     s.add_argument("--mode", default="AMHAMCL", choices=MODES)
     s.add_argument("--scenario", default="square", choices=sorted(SCENARIOS))
     s.add_argument("--result-name", default=None)
+    s.add_argument("--staged", action="store_true",
+                   help="two-program execution (filter/staged.py): "
+                        "full-field global / windowed tracking; needs an "
+                        "adaptive mode")
     s.add_argument("--save-frames", default=None, metavar="DIR",
                    help="live view: write per-scan particle frames + GIF "
                         "(the RViz MarkerArray stream equivalent)")
