@@ -16,6 +16,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import re
 from collections import defaultdict
@@ -165,6 +166,13 @@ def plot_rmse_report(results_dir: str, out_dir: str | None = None) -> str:
         plt.close(fig)
         images.append(p3)
 
+    # live-run animations (runner --save-frames / FrameRecorder.to_gif):
+    # any .gif under results_dir is embedded in the report — the replay
+    # equivalent of watching the run in RViz
+    gifs = sorted(
+        glob.glob(os.path.join(results_dir, "**", "*.gif"), recursive=True)
+    )
+
     html_path = os.path.join(out_dir, "report.html")
     with open(html_path, "w") as f:
         f.write("<html><head><title>MCMH localization results</title></head><body>")
@@ -175,6 +183,13 @@ def plot_rmse_report(results_dir: str, out_dir: str | None = None) -> str:
         f.write("</table>")
         for img in images:
             f.write(f'<div><img src="{os.path.basename(img)}" width="760"></div>')
+        for gif in gifs:
+            rel = os.path.relpath(gif, out_dir)
+            label = os.path.relpath(gif, results_dir)
+            f.write(
+                f'<div><h3>live run: {label}</h3>'
+                f'<img src="{rel}" width="540"></div>'
+            )
         f.write("</body></html>")
     return html_path
 

@@ -37,6 +37,7 @@ class OnlineLocalizer:
         staged: bool = False,
         tracking_capacity: int | None = None,
         tracking_ess_threshold: float | None = None,
+        frame_recorder=None,
     ):
         """``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is
         then the 2-D navigation slice; on_scan's ``angles`` becomes the
@@ -46,7 +47,12 @@ class OnlineLocalizer:
         online: global/recovery phases use the full-capacity full-field
         program, converged tracking the small windowed one, switching
         per scan on the same count/injection/mode-dominance policy as
-        run_staged.  Requires an adaptive mode."""
+        run_staged.  Requires an adaptive mode.
+
+        ``frame_recorder``: a ``viz.FrameRecorder`` — every on_scan
+        renders the live cloud + estimate into it (the reference node's
+        per-scan MarkerArray stream into RViz, amcmh_localizer.py:538-581,
+        as a direct hook; settable later via ``.frame_recorder``)."""
         self.config = config
         self.grid_map = grid_map
         self.staged = None
@@ -78,6 +84,7 @@ class OnlineLocalizer:
         from mcmh_localization_tpu.viz import TFReanchorer
 
         self.reanchor = TFReanchorer()
+        self.frame_recorder = frame_recorder
 
     # -- inputs --------------------------------------------------------------
 
@@ -165,6 +172,12 @@ class OnlineLocalizer:
             # the pose_broadcaster loop: one map->odom re-anchor per
             # estimate (pose_broadcaster.py:31-35)
             self.reanchor.on_estimate(est["pose3"])
+        if self.frame_recorder is not None:
+            self.frame_recorder.update(
+                self.state.particles, self.state.weights,
+                estimate=(est["pose3"] if est else None),
+                count=int(self.state.count),
+            )
         return est
 
     # -- outputs -------------------------------------------------------------

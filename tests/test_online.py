@@ -193,3 +193,30 @@ def test_online_staged_tracks_and_shrinks(house_map):
     loc.set_initial_pose(2.0, 1.0, 0.3)
     assert not loc._in_small
     assert loc.state.particles.shape[0] == 2000
+
+
+def test_online_frame_recorder_hook(house_map, tmp_path):
+    """frame_recorder= hook: every on_scan renders a live frame (the
+    reference node's per-scan MarkerArray stream, amcmh_localizer.py
+    :538-581, directly off the facade)."""
+    from mcmh_localization_tpu.models.sensor import raycast as _rc
+    from mcmh_localization_tpu.viz import FrameRecorder
+
+    cfg = FilterConfig(
+        mode="MCL", num_particles=150, initialized=True,
+        initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+    )
+    rec = FrameRecorder(house_map, str(tmp_path / "frames"), every=2)
+    loc = OnlineLocalizer(cfg, house_map, seed=0, frame_recorder=rec)
+    angles = jnp.linspace(-np.pi, np.pi, 60)
+    pose = np.array([1.0, -1.0, 0.0])
+    for t in range(5):
+        pose = pose + [0.05 * np.cos(pose[2]), 0.05 * np.sin(pose[2]), 0.02]
+        loc.on_odom(*pose)
+        loc.on_scan(
+            _rc(jnp.asarray(pose[:2]), pose[2] + angles, house_map, 5.0,
+                hit_unknown=True), angles)
+    assert len(rec.frames) == 3  # scans 0, 2, 4 with every=2
+    assert len(rec.trail) == 5   # estimate recorded every scan
+    gif = rec.to_gif()
+    assert gif is not None and gif.endswith(".gif")

@@ -137,9 +137,18 @@ def test_plots_report(tmp_path):
     sweep = collect_sweep(str(tmp_path))
     assert ("square", "MCL", 250) in sweep and ("square", "AMHAMCL", 500) in sweep
 
+    # a live-run animation anywhere under results_dir is embedded in the
+    # report (runner --save-frames / FrameRecorder.to_gif output)
+    from PIL import Image
+
+    os.makedirs(tmp_path / "frames", exist_ok=True)
+    Image.new("RGB", (8, 8)).save(tmp_path / "frames" / "run.gif")
+
     html = plot_rmse_report(str(tmp_path))
     assert os.path.exists(html)
     assert os.path.exists(tmp_path / "plots" / "square_error_vs_time.png")
+    text = open(html).read()
+    assert "run.gif" in text and "live run" in text
     html2 = plot_sweep_report(str(tmp_path))
     assert os.path.exists(html2)
 
