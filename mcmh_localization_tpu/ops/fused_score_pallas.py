@@ -134,9 +134,24 @@ def _kernel(f32s_ref, i32s_ref, tt_ref, px_ref, py_ref, pth_ref,
 
         return carry
 
-    lo = jnp.clip(jnp.min(rows_flat) // RC, 0, chunks - 1)
-    hi = jnp.clip(jnp.max(rows_flat) // RC, 0, chunks - 1)
-    jax.lax.fori_loop(lo, hi + 1, chunk_body, 0)
+    # TWO disjoint chunk windows, one per field: fine rows (covered) live
+    # below coarse_base, coarse rows (escapees) above it — the caller
+    # chunk-aligns coarse_base, so no chunk holds both.  A single
+    # [min, max] window would walk the predicated gap between the tracked
+    # cloud's fine chunks and the coarse region whenever a tile holds even
+    # ONE proposal-noise escapee (measured +2.9 ms at 2M on v5e,
+    # scripts/microbench12 with/without coarse); split windows skip the
+    # gap, and an escapee-free tile runs ZERO coarse iterations (empty
+    # fori ranges: min sentinel > max sentinel).  Accumulation is bitwise
+    # identical — each row contributes in exactly one chunk either way.
+    big = jnp.int32(chunks)      # empty-window sentinels: lo=big > hi=-1
+    neg = jnp.int32(-1)
+    lo_f = jnp.min(jnp.where(covered, row_chunk, big))
+    hi_f = jnp.max(jnp.where(covered, row_chunk, neg))
+    lo_c = jnp.min(jnp.where(covered, big, row_chunk))
+    hi_c = jnp.max(jnp.where(covered, neg, row_chunk))
+    jax.lax.fori_loop(lo_f, hi_f + 1, chunk_body, 0)
+    jax.lax.fori_loop(lo_c, hi_c + 1, chunk_body, 0)
     picked = jnp.sum(acc_ref[:] * mask, axis=0, keepdims=True)
 
     # ---- fused epilogue: aggregation divide + out-of-map fill
@@ -199,6 +214,11 @@ def fused_window_score_gather(
 
     fa, _cwa = _fold_2d(field_t)
     fb, _cwb = _fold_2d(cfield_t)
+    # chunk-align the fine table so the kernel's two chunk windows (fine
+    # rows below coarse_base, coarse rows above) can never share a chunk —
+    # a shared boundary chunk would be visited by BOTH windows and
+    # double-accumulate; the zero pad rows are never addressed
+    fa = jnp.pad(fa, ((0, (-fa.shape[0]) % RC), (0, 0)))
     coarse_base = fa.shape[0]
     combined = jnp.concatenate([fa, fb], axis=0)
 
