@@ -150,6 +150,73 @@ def test_fused_matches_spec_bitwise(fine_div, theta_div, clip_before):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("regime", ["all_covered", "all_escapee"])
+def test_fused_split_windows_degenerate_tiles(regime):
+    """The kernel walks TWO disjoint chunk windows (fine rows for covered
+    particles, coarse rows for escapees); a tile with none of one kind must
+    run ZERO iterations of that window (empty fori via lo>hi sentinels) and
+    still match the spec bitwise.  Regression for the split-window rewrite:
+    fh*nbins=72 is NOT chunk-aligned, so the coarse_base pad row range is
+    exercised too."""
+    rng = np.random.default_rng(7)
+    n_theta, nbins, fh, fw = 16, 8, 9, 40   # fh*nbins = 72, not %128
+    h = w = 300
+    kc, hc, wc = 12, 30, 50
+    res, res_c = 0.05, 0.4
+    orx = ory = 0.0
+    ox0, oy0, kstart = 20, 30, 2
+
+    field_t = jnp.asarray(
+        (rng.normal(size=(fh * nbins, fw)) * 10).astype(np.float32))
+    cfield_t = jnp.asarray(
+        (rng.normal(size=(hc * kc, wc)) * 10).astype(np.float32))
+    n = 1024
+    if regime == "all_covered":
+        # inside the window AND the theta band [kstart, kstart+nbins)
+        px = rng.uniform(ox0 * res + 0.01, (ox0 + fw) * res - 0.01, n)
+        py = rng.uniform(oy0 * res + 0.01, (oy0 + fh) * res - 0.01, n)
+        pth = rng.uniform(
+            (kstart + 0.1) * 2 * np.pi / n_theta - np.pi,
+            (kstart + nbins - 0.1) * 2 * np.pi / n_theta - np.pi, n)
+    else:
+        # in-map but entirely outside the spatial window
+        px = rng.uniform((ox0 + fw + 2) * res, (w - 1) * res, n)
+        py = rng.uniform(0.01, (h - 1) * res, n)
+        pth = rng.uniform(-np.pi, np.pi, n)
+    px = px.astype(np.float32)
+    py = py.astype(np.float32)
+    pth = pth.astype(np.float32)
+
+    theta_scale = np.float32(n_theta / (2.0 * np.pi))
+    denom, fill = np.float32(4.0), np.float32(-9.0)
+    out = np.asarray(fused_window_score_gather(
+        field_t, cfield_t,
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pth),
+        jnp.float32(orx), jnp.float32(ory), jnp.float32(1.0 / res),
+        jnp.int32(ox0), jnp.int32(oy0), jnp.int32(kstart),
+        jnp.float32(denom), jnp.float32(fill),
+        n_theta=n_theta, nbins=nbins, fh=fh, fw=fw, h=h, w=w,
+        kc=kc, hc=hc, wc=wc, res_c=res_c, theta_scale=float(theta_scale),
+        fine_div=False, theta_div=False, clip_before_window=False,
+        interpret=True,
+    ))
+
+    fa, _ = _fold_2d(field_t)
+    fb, _ = _fold_2d(cfield_t)
+    combined = jnp.concatenate([fa, fb], axis=0)
+    rows, lanes, in_map = _spec_rows_lanes(
+        px, py, pth, orx=orx, ory=ory, fine_scale=np.float32(1.0 / res),
+        fine_div=False, theta_scale=theta_scale, theta_div=False,
+        n_theta=n_theta, nbins=nbins, kstart=kstart, h=h, w=w,
+        fh=fh, fw=fw, ox0=ox0, oy0=oy0, kc=kc, hc=hc, wc=wc,
+        res_c=res_c, clip_before_window=False, coarse_base=fa.shape[0],
+    )
+    picked = np.asarray(gather_rows_lanes(
+        combined, jnp.asarray(rows), jnp.asarray(lanes), interpret=True))
+    ref = np.where(in_map, picked / denom, fill).astype(np.float32)
+    np.testing.assert_array_equal(out, ref)
+
+
 def _scorer_pair(house_map, scorer, particles, **kw):
     s_sel = np.asarray(scorer(particles, lookup_impl="select", **kw))
     s_fus = np.asarray(scorer(particles, lookup_impl="fused", **kw))
