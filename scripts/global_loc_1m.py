@@ -20,6 +20,9 @@ small-capacity tracking program once one mode dominates, escalating back
 on injection / dominance decay.
 
 Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed] [win]
+                                        [map_name]
+``map_name`` (default map_house) picks any reference map under
+/root/reference/app/maps — map_world is the second validation scenario.
 Prints one JSON line for RESULTS.md.
 """
 import json
@@ -40,6 +43,7 @@ def main():
     duration = float(sys.argv[2]) if len(sys.argv) > 2 else 40.0
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     win = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    map_name = sys.argv[5] if len(sys.argv) > 5 else "map_house"
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.eval.runner import run_filter_on_bag
@@ -52,7 +56,7 @@ def main():
 
     from mcmh_localization_tpu.sim.trajectory import square_trajectory
 
-    grid_map = load_map("/root/reference/app/maps/map_house.yaml")
+    grid_map = load_map(f"/root/reference/app/maps/{map_name}.yaml")
     # a LARGE square tour (4 m side, 0.3 m/s): the default 1.5 m square
     # placed in one corner room never breaks map_house's near-symmetry
     # under 5 m scans — the cluster estimate locks a wrong mode ~5 m off
@@ -62,7 +66,7 @@ def main():
     gt = fit_trajectory_to_map(grid_map, gt, min_clearance=0.18)
     bag = simulate_bag(
         jax.random.PRNGKey(seed), grid_map, gt, n_beams=360, max_range=5.0,
-        rate=5.0, range_noise=0.01, name="global_square",
+        rate=5.0, range_noise=0.01, name=f"global_square_{map_name}",
     )
 
     cfg = FilterConfig(
@@ -117,6 +121,7 @@ def main():
         "total_wall_s": round(total, 2),
         "seed": seed,
         "win": win,
+        "map": map_name,
         "tracking_scans": int((modes == 1).sum()) if modes is not None else None,
     }), flush=True)
     print("err trace (every 5th):",
