@@ -1,0 +1,156 @@
+"""Chip-scale kidnapped-robot demo through the STAGED runner: 1M-capacity
+AMHAMCL tracking on map_house, mid-run teleport, full phase cycle
+measured (tracking -> kidnap -> escalate to the 1M full-field program ->
+re-localize -> shrink back to windowed tracking).
+
+The CPU-scale twin runs in CI (tests/test_staged.py::
+test_staged_escalates_on_kidnap); this script validates the stage-switch
+policy at the real 1M operating point on the chip and records the
+numbers for RESULTS.md.  Kidnap construction mirrors the reference's
+evaluation scenario class (SURVEY.md section 4; augmented-MCL injection,
+amcmh_localizer.py:447-467): leg B is leg A's square tour rigidly
+translated to another room, scans switch to leg B at the teleport scan
+while odometry stays continuous (blind to the teleport).
+
+Usage: python scripts/kidnap_1m.py [n_particles] [seed]
+Prints one JSON line for RESULTS.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+
+
+def second_placement(grid_map, poses, min_clearance=0.18, min_dist=3.0,
+                     stride=3):
+    """A second free placement of ``poses`` at least ``min_dist`` meters
+    from its current anchor (same candidate scoring as
+    fit_trajectory_to_map, restricted to distant anchors)."""
+    occupancy = np.asarray(grid_map.occupancy)
+    distance = np.asarray(grid_map.distance)
+    res = float(grid_map.resolution)
+    origin = np.asarray(grid_map.origin, dtype=np.float64)
+    h, w = occupancy.shape
+    free_r, free_c = np.nonzero(
+        (occupancy == 0) & (distance >= min_clearance))
+    cand = np.stack(
+        [origin[0] + (free_c[::stride] + 0.5) * res,
+         origin[1] + (free_r[::stride] + 0.5) * res], axis=1)
+    xy = poses[:, :2].astype(np.float64)
+    center = xy.mean(axis=0)
+    far = np.hypot(cand[:, 0] - center[0], cand[:, 1] - center[1]) >= min_dist
+    cand = cand[far]
+    rel = xy - center
+    pts = cand[:, None, :] + rel[None, :, :]
+    cx = ((pts[..., 0] - origin[0]) / res).astype(np.int64)
+    cy = ((pts[..., 1] - origin[1]) / res).astype(np.int64)
+    inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    d = np.where(
+        inb, distance[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)], -1.0)
+    free = np.where(
+        inb, occupancy[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)] == 0,
+        False)
+    score = np.where(free, d, -1.0).min(axis=1)
+    best = int(np.argmax(score))
+    if score[best] < min_clearance:
+        raise ValueError("no distant placement with clearance")
+    out = poses.copy()
+    out[:, :2] = (cand[best] + rel).astype(np.float32)
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.filter.staged import (
+        make_staged_model,
+        run_staged,
+    )
+    from mcmh_localization_tpu.maps import load_map
+    from mcmh_localization_tpu.sim.simulator import (
+        odometry_deltas,
+        simulate_bag,
+    )
+    from mcmh_localization_tpu.sim.trajectory import (
+        fit_trajectory_to_map,
+        square_trajectory,
+    )
+
+    grid_map = load_map("/root/reference/app/maps/map_house.yaml")
+    # 60 s square tour at 5 Hz = ~300 scans; teleport at scan 120 (24 s in)
+    gt_a = square_trajectory(duration=60.0, rate=5.0, side=1.5, speed=0.3)
+    gt_a = fit_trajectory_to_map(grid_map, gt_a, min_clearance=0.18)
+    gt_b = second_placement(grid_map, gt_a, min_clearance=0.18, min_dist=3.0)
+    k = 120
+    jump = float(np.hypot(*(gt_b[k, :2] - gt_a[k, :2])))
+
+    key = jax.random.PRNGKey(seed)
+    bag_a = simulate_bag(key, grid_map, gt_a, n_beams=360, max_range=5.0,
+                         rate=5.0, range_noise=0.01, name="kidnap_a")
+    bag_b = simulate_bag(jax.random.PRNGKey(seed + 1), grid_map, gt_b,
+                         n_beams=360, max_range=5.0, rate=5.0,
+                         range_noise=0.01, name="kidnap_b")
+    ranges = np.concatenate(
+        [np.asarray(bag_a.ranges[:k]), np.asarray(bag_b.ranges[k:])])
+    deltas = odometry_deltas(bag_a.odom)  # continuous — blind to the jump
+    gt = np.concatenate([gt_a[:k], gt_b[k:]])
+
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=n,
+        min_particles=max(n // 10, 1000), max_particles=n,
+        initialized=True, initial_pose=tuple(map(float, gt_a[0])),
+        max_range=5.0, likelihood_impl="corr", corr_window_cells=128,
+        corr_theta_window_bins=32, estimate_mode="cluster",
+        motion_validity="score", min_injection_prob=0.02,
+        alpha_slow=0.05, alpha_fast=0.7,
+    )
+    staged = make_staged_model(cfg, grid_map, tracking_ess_threshold=0.9)
+    state = staged.init(jax.random.PRNGKey(seed + 100))
+    t0 = time.perf_counter()
+    out = run_staged(staged, state, ranges, np.asarray(bag_a.angles), deltas)
+    wall = time.perf_counter() - t0
+
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - gt[:, 0], est[:, 1] - gt[:, 1])
+    modes = out.modes
+    # escalation latency: first big-program scan at/after the kidnap,
+    # counted from a small-program pre-kidnap state
+    post = modes[k:]
+    esc = int(np.argmax(post == 0)) if (post == 0).any() else -1
+    # re-localization: first post-kidnap scan whose error stays < 0.5 m
+    ok = errs[k:] < 0.5
+    stays = np.logical_and.accumulate(ok[::-1])[::-1]
+    t_reloc = int(np.argmax(stays)) if stays.any() else -1
+    print(json.dumps({
+        "n_particles": n,
+        "seed": seed,
+        "scans": int(len(errs)),
+        "kidnap_scan": k,
+        "teleport_m": round(jump, 2),
+        "pre_kidnap_err_m": round(float(errs[k - 10:k].mean()), 4),
+        "pre_kidnap_small_scans": int((modes[:k] == 1).sum()),
+        "escalate_latency_scans": esc,
+        "relocalize_scans": t_reloc,
+        "relocalize_s": round(t_reloc / 5.0, 1) if t_reloc >= 0 else -1,
+        "final_err_m": round(float(errs[-1]), 4),
+        "tail_mean_err_m": round(float(errs[-10:].mean()), 4),
+        "final_mode_small": bool(modes[-1] == 1),
+        "switches": int(out.switches),
+        "filter_wall_s": round(wall, 2),
+    }), flush=True)
+    print("err (every 5th):", np.round(errs[::5], 2).tolist(),
+          file=sys.stderr)
+    print("modes (every 5th):", modes[::5].tolist(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
