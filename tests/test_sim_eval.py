@@ -208,3 +208,23 @@ def test_frame_recorder_live_view(house_map, small_bag, tmp_path):
     assert len(pngs) == -(-len(small_bag.times) // 3)
     assert "run.gif" in frames
     assert est.shape == (len(small_bag.times), 3)
+
+
+def test_runner_cli_single_staged(tmp_path, capsys):
+    """`eval.runner single --staged` end-to-end through the argparse
+    surface: the staged two-program path runs, reports the tracking-
+    program share, and writes the reference-format results file."""
+    from mcmh_localization_tpu.eval.runner import main
+
+    res = main([
+        "single", "--staged", "--initialized",
+        "--mode", "AMHAMCL", "--scenario", "square",
+        "--particles", "600", "--duration", "8.0", "--beams", "90",
+        "--results-dir", str(tmp_path), "--result-name", "staged_cli",
+        "--seed", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "scans in the tracking program" in out
+    assert res.rmse < 0.5, out
+    txt = (tmp_path / "staged_cli.txt").read_text()
+    assert "RMSE final:" in txt
