@@ -3,6 +3,8 @@ from mcmh_localization_tpu.sim.trajectory import (
     straight_line_spin_trajectory,
     square_trajectory,
     l_rest_trajectory,
+    fit_trajectory_to_map,
+    second_placement,
     SCENARIOS,
 )
 from mcmh_localization_tpu.sim.simulator import simulate_bag, Bag
@@ -13,6 +15,8 @@ __all__ = [
     "straight_line_spin_trajectory",
     "square_trajectory",
     "l_rest_trajectory",
+    "fit_trajectory_to_map",
+    "second_placement",
     "SCENARIOS",
     "simulate_bag",
     "Bag",

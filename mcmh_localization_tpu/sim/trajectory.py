@@ -94,6 +94,42 @@ def l_rest_trajectory(
     )
 
 
+def _free_anchor_candidates(grid_map, min_clearance: float, stride: int):
+    """(C, 2) world-frame anchor candidates: free cells with clearance."""
+    occupancy = np.asarray(grid_map.occupancy)
+    distance = np.asarray(grid_map.distance)
+    res = float(grid_map.resolution)
+    origin = np.asarray(grid_map.origin, dtype=np.float64)
+    free_r, free_c = np.nonzero((occupancy == 0) & (distance >= min_clearance))
+    if free_r.size == 0:
+        raise ValueError("map has no free cell with the requested clearance")
+    return np.stack(
+        [origin[0] + (free_c[::stride] + 0.5) * res,
+         origin[1] + (free_r[::stride] + 0.5) * res], axis=1
+    )
+
+
+def _placement_scores(grid_map, cand: np.ndarray, rel: np.ndarray):
+    """Min path clearance for every candidate placement ``cand[i] + rel``
+    ((C,) meters; -1 where any pose leaves the map or hits occupancy)."""
+    occupancy = np.asarray(grid_map.occupancy)
+    distance = np.asarray(grid_map.distance)
+    res = float(grid_map.resolution)
+    origin = np.asarray(grid_map.origin, dtype=np.float64)
+    h, w = occupancy.shape
+    pts = cand[:, None, :] + rel[None, :, :]  # (C, T, 2)
+    cx = ((pts[..., 0] - origin[0]) / res).astype(np.int64)
+    cy = ((pts[..., 1] - origin[1]) / res).astype(np.int64)
+    inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    d = np.where(
+        inb, distance[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)], -1.0
+    )
+    free = np.where(
+        inb, occupancy[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)] == 0, False
+    )
+    return np.where(free, d, -1.0).min(axis=1)
+
+
 def fit_trajectory_to_map(
     grid_map,
     poses: np.ndarray,
@@ -110,36 +146,12 @@ def fit_trajectory_to_map(
     of assuming the origin is drivable.  Deterministic: picks the placement
     maximizing the minimum clearance along the path.
     """
-    occupancy = np.asarray(grid_map.occupancy)
-    distance = np.asarray(grid_map.distance)
-    res = float(grid_map.resolution)
-    origin = np.asarray(grid_map.origin, dtype=np.float64)
-    h, w = occupancy.shape
-
-    free_r, free_c = np.nonzero((occupancy == 0) & (distance >= min_clearance))
-    if free_r.size == 0:
-        raise ValueError("map has no free cell with the requested clearance")
-    cand = np.stack(
-        [origin[0] + (free_c[::stride] + 0.5) * res,
-         origin[1] + (free_r[::stride] + 0.5) * res], axis=1
-    )  # (C, 2) candidate anchor points
-
+    cand = _free_anchor_candidates(grid_map, min_clearance, stride)
     xy = poses[:, :2].astype(np.float64)
     center = xy.mean(axis=0)
     for scale in scales:
         rel = (xy - center) * scale  # (T, 2)
-        # all candidate placements at once: (C, T, 2)
-        pts = cand[:, None, :] + rel[None, :, :]
-        cx = ((pts[..., 0] - origin[0]) / res).astype(np.int64)
-        cy = ((pts[..., 1] - origin[1]) / res).astype(np.int64)
-        inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-        d = np.where(
-            inb, distance[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)], -1.0
-        )
-        free = np.where(
-            inb, occupancy[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)] == 0, False
-        )
-        score = np.where(free, d, -1.0).min(axis=1)  # min clearance per placement
+        score = _placement_scores(grid_map, cand, rel)
         best = int(np.argmax(score))
         if score[best] >= min_clearance:
             out = poses.copy()
@@ -148,6 +160,44 @@ def fit_trajectory_to_map(
     raise ValueError(
         f"no placement found with clearance >= {min_clearance} at any scale"
     )
+
+
+def second_placement(
+    grid_map,
+    poses: np.ndarray,
+    min_clearance: float = 0.2,
+    min_dist: float = 3.0,
+    stride: int = 3,
+) -> np.ndarray:
+    """A second free placement of ``poses`` whose anchor is at least
+    ``min_dist`` meters from the current one — the kidnapped-robot
+    scenario constructor: run the filter on leg A, teleport the scans to
+    the rigid translate leg B while odometry stays continuous (the
+    evaluation pattern behind the reference's augmented-MCL recovery
+    machinery, amcmh_localizer.py:447-467; used by the kidnap tests and
+    scripts/kidnap_1m.py).
+
+    Same deterministic candidate scoring as :func:`fit_trajectory_to_map`
+    (no rescaling — the two legs must be congruent so odometry deltas fit
+    both), restricted to anchors ``min_dist`` away.
+    """
+    cand = _free_anchor_candidates(grid_map, min_clearance, stride)
+    xy = poses[:, :2].astype(np.float64)
+    center = xy.mean(axis=0)
+    far = np.hypot(cand[:, 0] - center[0], cand[:, 1] - center[1]) >= min_dist
+    cand = cand[far]
+    if cand.shape[0] == 0:
+        raise ValueError(f"no free anchor at least {min_dist} m away")
+    rel = xy - center
+    score = _placement_scores(grid_map, cand, rel)
+    best = int(np.argmax(score))
+    if score[best] < min_clearance:
+        raise ValueError(
+            f"no distant placement with clearance >= {min_clearance}"
+        )
+    out = poses.copy()
+    out[:, :2] = (cand[best] + rel).astype(np.float32)
+    return out
 
 
 SCENARIOS = {

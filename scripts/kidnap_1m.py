@@ -28,44 +28,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 
 
-def second_placement(grid_map, poses, min_clearance=0.18, min_dist=3.0,
-                     stride=3):
-    """A second free placement of ``poses`` at least ``min_dist`` meters
-    from its current anchor (same candidate scoring as
-    fit_trajectory_to_map, restricted to distant anchors)."""
-    occupancy = np.asarray(grid_map.occupancy)
-    distance = np.asarray(grid_map.distance)
-    res = float(grid_map.resolution)
-    origin = np.asarray(grid_map.origin, dtype=np.float64)
-    h, w = occupancy.shape
-    free_r, free_c = np.nonzero(
-        (occupancy == 0) & (distance >= min_clearance))
-    cand = np.stack(
-        [origin[0] + (free_c[::stride] + 0.5) * res,
-         origin[1] + (free_r[::stride] + 0.5) * res], axis=1)
-    xy = poses[:, :2].astype(np.float64)
-    center = xy.mean(axis=0)
-    far = np.hypot(cand[:, 0] - center[0], cand[:, 1] - center[1]) >= min_dist
-    cand = cand[far]
-    rel = xy - center
-    pts = cand[:, None, :] + rel[None, :, :]
-    cx = ((pts[..., 0] - origin[0]) / res).astype(np.int64)
-    cy = ((pts[..., 1] - origin[1]) / res).astype(np.int64)
-    inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-    d = np.where(
-        inb, distance[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)], -1.0)
-    free = np.where(
-        inb, occupancy[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)] == 0,
-        False)
-    score = np.where(free, d, -1.0).min(axis=1)
-    best = int(np.argmax(score))
-    if score[best] < min_clearance:
-        raise ValueError("no distant placement with clearance")
-    out = poses.copy()
-    out[:, :2] = (cand[best] + rel).astype(np.float32)
-    return out
-
-
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -82,6 +44,7 @@ def main():
     )
     from mcmh_localization_tpu.sim.trajectory import (
         fit_trajectory_to_map,
+        second_placement,
         square_trajectory,
     )
 

@@ -32,6 +32,40 @@ def test_static_trajectory_is_static():
     assert np.allclose(poses, poses[0])
 
 
+def test_second_placement_kidnap_legs(house_map):
+    """The kidnap-scenario constructor: leg B is a rigid translate of leg
+    A, every pose free with clearance, anchored >= min_dist away."""
+    from mcmh_localization_tpu.sim.trajectory import (
+        fit_trajectory_to_map,
+        second_placement,
+    )
+
+    gt_a = fit_trajectory_to_map(
+        house_map, SCENARIOS["square"](duration=10.0, rate=5.0),
+        min_clearance=0.15,
+    )
+    gt_b = second_placement(house_map, gt_a, min_clearance=0.15,
+                            min_dist=2.0)
+    # rigid translation: same shape, same headings
+    shift = gt_b[:, :2] - gt_a[:, :2]
+    assert np.allclose(shift, shift[0], atol=1e-5)
+    assert np.allclose(gt_b[:, 2], gt_a[:, 2])
+    assert np.hypot(*shift[0]) >= 2.0
+    # every leg-B pose is free with clearance
+    occ = np.asarray(house_map.occupancy)
+    dist = np.asarray(house_map.distance)
+    res = float(house_map.resolution)
+    origin = np.asarray(house_map.origin)
+    cx = ((gt_b[:, 0] - origin[0]) / res).astype(int)
+    cy = ((gt_b[:, 1] - origin[1]) / res).astype(int)
+    assert (occ[cy, cx] == 0).all()
+    assert (dist[cy, cx] >= 0.15).all()
+    # impossible distance raises
+    with pytest.raises(ValueError):
+        second_placement(house_map, gt_a, min_clearance=0.15,
+                         min_dist=1e6)
+
+
 @pytest.fixture(scope="module")
 def small_bag(house_map):
     gt = SCENARIOS["square"](duration=10.0, rate=5.0)
