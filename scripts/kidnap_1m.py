@@ -12,8 +12,10 @@ amcmh_localizer.py:447-467): leg B is leg A's square tour rigidly
 translated to another room, scans switch to leg B at the teleport scan
 while odometry stays continuous (blind to the teleport).
 
-Usage: python scripts/kidnap_1m.py [n_particles] [seed]
-Prints one JSON line for RESULTS.md.
+Usage: python scripts/kidnap_1m.py [n_particles] [seed] [plot.png]
+Prints one JSON line for RESULTS.md; the optional third argument saves an
+error-vs-time plot with program-mode shading (the full staged cycle in
+one picture).
 """
 import json
 import os
@@ -122,6 +124,38 @@ def main():
     print("err (every 5th):", np.round(errs[::5], 2).tolist(),
           file=sys.stderr)
     print("modes (every 5th):", modes[::5].tolist(), file=sys.stderr)
+
+    if len(sys.argv) > 3:
+        plot_cycle(sys.argv[3], errs, modes, k, jump)
+
+
+def plot_cycle(path, errs, modes, k, jump):
+    """Position error vs scan, BIG-program spans shaded, teleport marked."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.arange(len(errs)) / 5.0
+    fig, ax = plt.subplots(figsize=(9, 3.2), dpi=120)
+    big = modes == 0
+    # contiguous BIG spans as shaded regions
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], big, [0]])))
+    for lo, hi in edges.reshape(-1, 2):
+        ax.axvspan(t[lo], t[min(hi, len(t) - 1)], color="#d33",
+                   alpha=0.12, lw=0)
+    ax.axvline(t[k], color="#d33", ls="--", lw=1,
+               label=f"kidnap ({jump:.1f} m teleport)")
+    ax.semilogy(t, np.maximum(errs, 1e-3), lw=1.2, color="#247",
+                label="position error")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("error (m)")
+    ax.set_title("1M staged kidnap cycle — shaded = full-field BIG program")
+    ax.legend(loc="upper right", fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path)
+    print(f"plot -> {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
