@@ -37,6 +37,7 @@ class OnlineLocalizer:
         staged: bool = False,
         tracking_capacity: int | None = None,
         tracking_ess_threshold: float | None = None,
+        tracking_theta_bins: int | None = None,
         frame_recorder=None,
     ):
         """``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is
@@ -64,6 +65,7 @@ class OnlineLocalizer:
                 config, grid_map, tracking_capacity=tracking_capacity,
                 voxel_map=voxel_map,
                 tracking_ess_threshold=tracking_ess_threshold,
+                tracking_theta_bins=tracking_theta_bins,
             )
             self._cap = state_size(self.staged.small_config)
             self._n_big = state_size(self.staged.config)

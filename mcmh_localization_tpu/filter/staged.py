@@ -87,6 +87,7 @@ def make_staged_model(
     voxel_map=None,
     global_scoring: str = "full",
     tracking_ess_threshold: float | None = None,
+    tracking_theta_bins: int | None = None,
 ) -> StagedModel:
     """Build the two compiled programs.  ``config`` must be adaptive
     (use_adaptive) — staging is the static-shape answer to the
@@ -102,7 +103,18 @@ def make_staged_model(
     kidnap runs with a gate let the losing mode linger (fewer resample
     events to drain it — estimate flips between modes), while here any
     recovery escalates to the BIG program, which always keeps per-scan
-    parity resampling."""
+    parity resampling.
+
+    ``tracking_theta_bins``: narrower corr/beam theta window for the
+    SMALL (tracking) program only.  A converged heading posterior spans
+    a few degrees, so the tracking program does not need the global
+    config's MH-proposal-headroom width; the fused gather kernel's fine
+    row span — its chunk-loop cost — scales linearly with the bin count
+    (ops/fused_score_pallas.py).  Accuracy measured FLAT from 32 down to
+    8 bins on the square/straight_line_spin scenarios
+    (scripts/theta_sweep.py); out-of-window headings still fall to the
+    coarse fallback, and any recovery escalates to the full-field BIG
+    program anyway."""
     if not config.use_adaptive:
         raise ValueError(
             "make_staged_model needs an adaptive mode (AMCL/*AMCL): "
@@ -132,13 +144,20 @@ def make_staged_model(
                 and config.beam_impl in ("auto", "field") else config.beam_impl
             ),
         )
+    small_kw = {}
+    if tracking_ess_threshold is not None:
+        small_kw["resample_ess_threshold"] = tracking_ess_threshold
+    if tracking_theta_bins is not None:
+        if not config.corr_window_cells:
+            raise ValueError(
+                "tracking_theta_bins needs a windowed scorer "
+                "(corr_window_cells > 0)"
+            )
+        small_kw["corr_theta_window_bins"] = tracking_theta_bins
     small_config = config.replace(
         num_particles=min(config.num_particles, cap),
         max_particles=cap,
-        **(
-            {"resample_ess_threshold": tracking_ess_threshold}
-            if tracking_ess_threshold is not None else {}
-        ),
+        **small_kw,
     )
     big = make_model(big_config, grid_map, voxel_map=voxel_map)
     small = make_model(small_config, grid_map, voxel_map=voxel_map)

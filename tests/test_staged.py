@@ -104,6 +104,35 @@ def test_staged_tracks_and_shrinks(house_map):
     assert abs(np.mean(errs[-8:]) - np.mean(errs_b[-8:])) < 0.3
 
 
+def test_staged_tracking_theta_bins(house_map):
+    """The SMALL program can ride a narrower theta window than the global
+    config (the tracking heading posterior spans a few degrees; RMSE
+    measured flat 32 -> 8 bins, scripts/theta_sweep.py) — config plumbing
+    + tracking still converges."""
+    from tests.test_filter import _simulate
+
+    poses = _circle(40)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = _cfg(initial_pose=tuple(map(float, poses[0])),
+               corr_theta_window_bins=30)
+    staged = make_staged_model(cfg, house_map, tracking_capacity=1024,
+                               tracking_theta_bins=10)
+    assert staged.small_config.corr_theta_window_bins == 10
+    # BIG keeps full-field scoring (global_scoring="full" drops the window)
+    assert staged.config.corr_window_cells == 0
+    out = run_staged(staged, staged.init(jax.random.PRNGKey(3)), scans,
+                     angles, deltas, chunk=8)
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert out.modes[-1] == 1, out.modes
+    assert np.mean(errs[-8:]) < 0.4, errs[-8:]
+    # unwindowed config rejects the knob
+    with pytest.raises(ValueError, match="windowed"):
+        make_staged_model(_cfg(initial_pose=(0.0, 0.0, 0.0),
+                               corr_window_cells=0), house_map,
+                          tracking_theta_bins=10)
+
+
 def test_staged_global_localization_windowed(house_map):
     """Uniform-init global localization with the WINDOWED flagship config
     through the staged runner: the big (full-field) program resolves the
