@@ -410,6 +410,12 @@ class FilterConfig:
         The YAML is flat key: value; keys map 1:1 onto fields below.  Parsed
         with a tiny hand-rolled reader so we need no yaml dependency for the
         exact subset the reference uses.
+
+        Keys that are not reference aliases but match a FilterConfig field
+        name directly (e.g. ``likelihood_impl: corr``,
+        ``corr_window_cells: 128``) pass through as that field, so a params
+        file can configure this framework's extensions alongside the
+        reference's knobs.
         """
         raw = _parse_flat_yaml(path)
         mapping = {
@@ -439,9 +445,18 @@ class FilterConfig:
         for yaml_key, field in mapping.items():
             if yaml_key in raw:
                 kwargs[field] = raw[yaml_key]
-        int_fields = {"num_particles", "min_particles", "max_particles", "step"}
-        for f in int_fields:
-            if f in kwargs:
+        # direct field-name pass-through for this framework's extensions
+        # (reference aliases above win on collision)
+        field_types = {f.name: f.type for f in dataclasses.fields(cls)}
+        for key, val in raw.items():
+            if key in mapping or key in kwargs or key not in field_types:
+                continue
+            kwargs[key] = val
+        int_fields = {
+            name for name, t in field_types.items() if t in (int, "int")
+        }
+        for f in list(kwargs):
+            if f in int_fields and kwargs[f] is not None:
                 kwargs[f] = int(kwargs[f])
         kwargs.update(overrides)
         return cls(**kwargs)

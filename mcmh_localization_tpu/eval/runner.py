@@ -169,7 +169,11 @@ def cmd_single(args):
             run_staged,
         )
 
-        staged = make_staged_model(cfg, grid_map)
+        staged = make_staged_model(
+            cfg, grid_map,
+            tracking_ess_threshold=getattr(args, "tracking_ess", None),
+            tracking_theta_bins=getattr(args, "tracking_theta_bins", None),
+        )
         state = staged.init(k_run)
         deltas = odometry_deltas(bag.odom)
         t0 = time.perf_counter()
@@ -285,6 +289,12 @@ def build_parser():
                    help="two-program execution (filter/staged.py): "
                         "full-field global / windowed tracking; needs an "
                         "adaptive mode")
+    s.add_argument("--tracking-ess", type=float, default=None,
+                   help="with --staged: ESS-gated resampling threshold "
+                        "for the tracking program (e.g. 0.9)")
+    s.add_argument("--tracking-theta-bins", type=int, default=None,
+                   help="with --staged: narrower corr/beam theta window "
+                        "for the tracking program")
     s.add_argument("--save-frames", default=None, metavar="DIR",
                    help="live view: write per-scan particle frames + GIF "
                         "(the RViz MarkerArray stream equivalent)")
