@@ -55,6 +55,30 @@ def test_from_yaml(tmp_path):
     assert c.initialized is False
 
 
+def test_from_yaml_extension_keys(tmp_path):
+    """Non-reference keys matching native field names pass through, with
+    int fields coerced; unknown keys are ignored."""
+    p = tmp_path / "flagship.yaml"
+    p.write_text(
+        "localization_mode: 'AMHAMCL'\ninit_particles: 2000\n"
+        "likelihood_impl: corr\ncorr_window_cells: 96\n"
+        "corr_theta_window_bins: 24\nestimate_mode: cluster\n"
+        "motion_validity: score\nmin_injection_prob: 0.02\n"
+        "not_a_field_at_all: 7\n"
+    )
+    c = FilterConfig.from_yaml(str(p))
+    assert c.likelihood_impl == "corr"
+    assert c.corr_window_cells == 96 and isinstance(c.corr_window_cells, int)
+    assert c.corr_theta_window_bins == 24
+    assert c.estimate_mode == "cluster"
+    assert c.motion_validity == "score"
+    assert c.min_injection_prob == 0.02
+    # reference alias still wins over a direct field name collision
+    q = tmp_path / "alias.yaml"
+    q.write_text("init_particles: 111\nnum_particles: 999\n")
+    assert FilterConfig.from_yaml(str(q)).num_particles == 111
+
+
 def test_from_reference_yaml_if_present():
     path = "/root/reference/app/params/amhmcl.yaml"
     if not os.path.exists(path):
