@@ -205,3 +205,45 @@ class OnlineLocalizer:
             np.asarray(self.state.particles[:n]),
             np.asarray(self.state.weights[:n]),
         )
+
+    # -- checkpoint/resume -----------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the filter state (utils/checkpoint.py npz, bit-exact
+        incl. PRNG key).  Under staged execution the array capacity
+        identifies the active program, so no extra metadata is needed."""
+        from mcmh_localization_tpu.utils.checkpoint import save_state
+
+        save_state(path, self.state)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from ``save_checkpoint``.  Under staged execution the
+        checkpoint's capacity selects the matching compiled program (BIG
+        or SMALL); a capacity matching neither configuration is an error.
+        Odometry bookkeeping resets — the next on_odom re-seeds it, as at
+        construction."""
+        from mcmh_localization_tpu.utils.checkpoint import load_state
+
+        st = load_state(path)
+        if self.staged is not None:
+            cap = st.particles.shape[0]
+            if cap == self._cap:
+                self._in_small = True
+                self.model = self.staged.small
+            elif cap == self._n_big:
+                self._in_small = False
+                self.model = self.staged.big
+            else:
+                raise ValueError(
+                    f"checkpoint capacity {cap} matches neither the big "
+                    f"({self._n_big}) nor the tracking ({self._cap}) program"
+                )
+        elif st.particles.shape[0] != self.state.particles.shape[0]:
+            raise ValueError(
+                f"checkpoint capacity {st.particles.shape[0]} != model "
+                f"capacity {self.state.particles.shape[0]}"
+            )
+        self.state = st
+        self._last_odom = None
+        self._predicted_from = None
+        self.last_info = None

@@ -195,6 +195,67 @@ def test_online_staged_tracks_and_shrinks(house_map):
     assert loc.state.particles.shape[0] == 2000
 
 
+def test_online_staged_checkpoint_resume(house_map, tmp_path):
+    """save_checkpoint/load_checkpoint on the staged facade: the
+    checkpoint's array capacity selects the compiled program on resume,
+    and the resumed run continues bit-exactly (same scans -> same
+    estimates, PRNG key included)."""
+    from mcmh_localization_tpu.models.sensor import raycast as _rc
+
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=2000, min_particles=300,
+        max_particles=2000, initialized=True, initial_pose=(1.0, -1.0, 0.0),
+        max_range=5.0, likelihood_impl="corr", corr_n_theta=90,
+        corr_window_cells=96, estimate_mode="cluster",
+    )
+
+    def make():
+        return OnlineLocalizer(cfg, house_map, seed=0, staged=True,
+                               tracking_capacity=1024,
+                               tracking_ess_threshold=0.9)
+
+    angles = jnp.linspace(-np.pi, np.pi, 90)
+
+    def drive(loc, pose, n):
+        est = None
+        for _ in range(n):
+            pose = pose + [0.04 * np.cos(pose[2]), 0.04 * np.sin(pose[2]),
+                           0.02]
+            pose[2] = (pose[2] + np.pi) % (2 * np.pi) - np.pi
+            loc.on_odom(*pose)
+            est = loc.on_scan(
+                _rc(jnp.asarray(pose[:2]), pose[2] + angles, house_map, 5.0,
+                    hit_unknown=True), angles)
+        return pose, est
+
+    loc = make()
+    pose, _ = drive(loc, np.array([1.0, -1.0, 0.0]), 35)
+    assert loc._in_small  # checkpoint taken IN the tracking program
+    path = str(tmp_path / "staged.npz")
+    loc.save_checkpoint(path)
+    pose_a, est_a = drive(loc, pose.copy(), 5)
+
+    loc2 = make()
+    assert not loc2._in_small
+    loc2.load_checkpoint(path)
+    assert loc2._in_small and loc2.state.particles.shape[0] == 1024
+    # odometry bookkeeping resets: re-seed with the checkpoint-time pose
+    loc2.on_odom(*pose)
+    pose_b, est_b = drive(loc2, pose.copy(), 5)
+    np.testing.assert_allclose(est_a["pose3"], est_b["pose3"], atol=1e-6)
+
+    # capacity matching neither program is rejected
+    from mcmh_localization_tpu.utils.checkpoint import save_state
+
+    bad = str(tmp_path / "bad.npz")
+    save_state(bad, loc.state.replace(
+        particles=loc.state.particles[:512],
+        prev_particles=loc.state.prev_particles[:512],
+        weights=loc.state.weights[:512]))
+    with pytest.raises(ValueError, match="neither"):
+        loc2.load_checkpoint(bad)
+
+
 def test_online_frame_recorder_hook(house_map, tmp_path):
     """frame_recorder= hook: every on_scan renders a live frame (the
     reference node's per-scan MarkerArray stream, amcmh_localizer.py
