@@ -172,10 +172,17 @@ def test_step_deterministic(house_map, trajectory_data):
     )
     model = make_model(cfg, house_map)
     s0 = model.init(jax.random.PRNGKey(0))
+    parts0 = np.asarray(s0.particles).copy()
+    w0 = np.asarray(s0.weights).copy()
     a1, i1 = model.step(s0, scans[0], angles, deltas[0])
     # interleave unrelated work, then repeat the identical call
     _ = model.step(a1, scans[1], angles, deltas[1])
     a2, i2 = model.step(s0, scans[0], angles, deltas[0])
+    # aliasing/donation guard (SURVEY.md §5 race row): the step never
+    # mutates or invalidates its input buffers — s0 is still readable and
+    # bit-identical after two steps consumed it
+    np.testing.assert_array_equal(np.asarray(s0.particles), parts0)
+    np.testing.assert_array_equal(np.asarray(s0.weights), w0)
     np.testing.assert_array_equal(np.asarray(a1.particles), np.asarray(a2.particles))
     np.testing.assert_array_equal(np.asarray(a1.weights), np.asarray(a2.weights))
     np.testing.assert_array_equal(
