@@ -121,11 +121,45 @@ def _emit(metric, ms, n_particles, unit="ms/scan"):
     )
 
 
+def _init_watchdog(budget_s: float = 300.0):
+    """Fail fast instead of hanging the driver: the remote-TPU backend
+    init (device claim through the tunnel) can wedge indefinitely when
+    the pool is unhealthy (measured: >2 h, even jax.devices() blocks in
+    a C call that no signal interrupts).  A daemon thread hard-exits
+    with a diagnostic if the first tiny device op doesn't complete in
+    ``budget_s`` (a healthy claim + first-op round trip is seconds; the
+    budget covers a slow remote compile).  Returns a callable that
+    disarms the watchdog."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(budget_s):
+            print(
+                f"[bench] FATAL: device init did not complete within "
+                f"{budget_s:.0f}s — TPU tunnel/pool unhealthy; aborting "
+                f"instead of hanging", file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done.set
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    disarm = _init_watchdog()
+    import jax.numpy as _jnp
+
+    float(_jnp.ones((8, 8)).sum())  # claim + first op under the watchdog
+    disarm()
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.filter.step import (
