@@ -20,9 +20,12 @@ small-capacity tracking program once one mode dominates, escalating back
 on injection / dominance decay.
 
 Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed] [win]
-                                        [map_name]
+                                        [map_name] [tracking_theta] [tracking_ess]
 ``map_name`` (default map_house) picks any reference map under
 /root/reference/app/maps — map_world is the second validation scenario.
+``tracking_theta`` / ``tracking_ess`` (win>0 only) forward to the staged
+runner's tracking-program knobs (tracking_theta_bins /
+tracking_ess_threshold; 0 = off).
 Prints one JSON line for RESULTS.md.
 """
 import json
@@ -44,6 +47,8 @@ def main():
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     win = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     map_name = sys.argv[5] if len(sys.argv) > 5 else "map_house"
+    tracking_theta = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    tracking_ess = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.eval.runner import run_filter_on_bag
@@ -88,7 +93,11 @@ def main():
         )
         from mcmh_localization_tpu.sim.simulator import odometry_deltas
 
-        staged = make_staged_model(cfg, grid_map)
+        staged = make_staged_model(
+            cfg, grid_map,
+            tracking_theta_bins=tracking_theta or None,
+            tracking_ess_threshold=tracking_ess or None,
+        )
         state = staged.init(jax.random.PRNGKey(seed + 100))
         t1 = time.perf_counter()
         out = run_staged(
