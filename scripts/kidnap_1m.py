@@ -126,10 +126,10 @@ def main():
     print("modes (every 5th):", modes[::5].tolist(), file=sys.stderr)
 
     if len(sys.argv) > 3:
-        plot_cycle(sys.argv[3], errs, modes, k, jump)
+        plot_cycle(sys.argv[3], errs, modes, k, jump, n)
 
 
-def plot_cycle(path, errs, modes, k, jump):
+def plot_cycle(path, errs, modes, k, jump, n):
     """Position error vs scan, BIG-program spans shaded, teleport marked."""
     import matplotlib
 
@@ -150,7 +150,10 @@ def plot_cycle(path, errs, modes, k, jump):
                 label="position error")
     ax.set_xlabel("time (s)")
     ax.set_ylabel("error (m)")
-    ax.set_title("1M staged kidnap cycle — shaded = full-field BIG program")
+    label = f"{n // 1000}k" if n < 1_000_000 else f"{n // 1_000_000}M"
+    ax.set_title(
+        f"{label} staged kidnap cycle — shaded = full-field BIG program"
+    )
     ax.legend(loc="upper right", fontsize=8)
     ax.grid(alpha=0.3)
     fig.tight_layout()
