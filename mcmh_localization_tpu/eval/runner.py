@@ -173,6 +173,7 @@ def cmd_single(args):
             cfg, grid_map,
             tracking_ess_threshold=getattr(args, "tracking_ess", None),
             tracking_theta_bins=getattr(args, "tracking_theta_bins", None),
+            tracking_window_cells=getattr(args, "tracking_window", None),
         )
         state = staged.init(k_run)
         deltas = odometry_deltas(bag.odom)
@@ -295,6 +296,9 @@ def build_parser():
     s.add_argument("--tracking-theta-bins", type=int, default=None,
                    help="with --staged: narrower corr/beam theta window "
                         "for the tracking program")
+    s.add_argument("--tracking-window", type=int, default=None,
+                   help="with --staged: narrower spatial corr/beam window "
+                        "(cells) for the tracking program")
     s.add_argument("--save-frames", default=None, metavar="DIR",
                    help="live view: write per-scan particle frames + GIF "
                         "(the RViz MarkerArray stream equivalent)")

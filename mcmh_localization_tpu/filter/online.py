@@ -38,6 +38,7 @@ class OnlineLocalizer:
         tracking_capacity: int | None = None,
         tracking_ess_threshold: float | None = None,
         tracking_theta_bins: int | None = None,
+        tracking_window_cells: int | None = None,
         frame_recorder=None,
     ):
         """``voxel_map``: VoxelMap for sensor_model="lidar3d" (grid_map is
@@ -66,6 +67,7 @@ class OnlineLocalizer:
                 voxel_map=voxel_map,
                 tracking_ess_threshold=tracking_ess_threshold,
                 tracking_theta_bins=tracking_theta_bins,
+                tracking_window_cells=tracking_window_cells,
             )
             self._cap = state_size(self.staged.small_config)
             self._n_big = state_size(self.staged.config)

@@ -88,6 +88,7 @@ def make_staged_model(
     global_scoring: str = "full",
     tracking_ess_threshold: float | None = None,
     tracking_theta_bins: int | None = None,
+    tracking_window_cells: int | None = None,
 ) -> StagedModel:
     """Build the two compiled programs.  ``config`` must be adaptive
     (use_adaptive) — staging is the static-shape answer to the
@@ -114,7 +115,17 @@ def make_staged_model(
     8 bins on the square/straight_line_spin scenarios
     (scripts/theta_sweep.py); out-of-window headings still fall to the
     coarse fallback, and any recovery escalates to the full-field BIG
-    program anyway."""
+    program anyway.
+
+    ``tracking_window_cells``: narrower SPATIAL corr/beam window for the
+    SMALL program only — the theta knob's spatial twin.  A converged
+    cloud spans centimeters while the global config sizes its window for
+    recovery headroom; the field-build region area and the fused
+    kernel's fine-table volume both scale with the window, and escapees
+    still fall to the coarse fallback (which triggers anchor-mass
+    escalation if the cloud actually outgrows the window).  RMSE
+    measured flat 128 -> 48 cells on square/straight_line_spin
+    (scripts/window_sweep.py)."""
     if not config.use_adaptive:
         raise ValueError(
             "make_staged_model needs an adaptive mode (AMCL/*AMCL): "
@@ -154,6 +165,19 @@ def make_staged_model(
                 "(corr_window_cells > 0)"
             )
         small_kw["corr_theta_window_bins"] = tracking_theta_bins
+    if tracking_window_cells is not None:
+        if not config.corr_window_cells:
+            raise ValueError(
+                "tracking_window_cells needs a windowed scorer "
+                "(corr_window_cells > 0)"
+            )
+        if tracking_window_cells > config.corr_window_cells:
+            raise ValueError(
+                f"tracking_window_cells {tracking_window_cells} > the "
+                f"config's corr_window_cells {config.corr_window_cells}: "
+                "the tracking window only shrinks"
+            )
+        small_kw["corr_window_cells"] = tracking_window_cells
     small_config = config.replace(
         num_particles=min(config.num_particles, cap),
         max_particles=cap,

@@ -21,11 +21,13 @@ on injection / dominance decay.
 
 Usage: python scripts/global_loc_1m.py [n_particles] [duration_s] [seed] [win]
                                         [map_name] [tracking_theta] [tracking_ess]
+                                        [tracking_win]
 ``map_name`` (default map_house) picks any reference map under
 /root/reference/app/maps — map_world is the second validation scenario.
-``tracking_theta`` / ``tracking_ess`` (win>0 only) forward to the staged
-runner's tracking-program knobs (tracking_theta_bins /
-tracking_ess_threshold; 0 = off).
+``tracking_theta`` / ``tracking_ess`` / ``tracking_win`` (win>0 only)
+forward to the staged runner's tracking-program knobs
+(tracking_theta_bins / tracking_ess_threshold / tracking_window_cells;
+0 = off).
 Prints one JSON line for RESULTS.md.
 """
 import json
@@ -49,6 +51,7 @@ def main():
     map_name = sys.argv[5] if len(sys.argv) > 5 else "map_house"
     tracking_theta = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     tracking_ess = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
+    tracking_win = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 
     from mcmh_localization_tpu.config import FilterConfig
     from mcmh_localization_tpu.eval.runner import run_filter_on_bag
@@ -97,6 +100,7 @@ def main():
             cfg, grid_map,
             tracking_theta_bins=tracking_theta or None,
             tracking_ess_threshold=tracking_ess or None,
+            tracking_window_cells=tracking_win or None,
         )
         state = staged.init(jax.random.PRNGKey(seed + 100))
         t1 = time.perf_counter()

@@ -133,6 +133,36 @@ def test_staged_tracking_theta_bins(house_map):
                           tracking_theta_bins=10)
 
 
+def test_staged_tracking_window_cells(house_map):
+    """The SMALL program can ride a narrower SPATIAL window than the
+    global config (the theta knob's spatial twin: a converged cloud
+    spans centimeters; field-build region area and fused fine-table
+    volume scale with the window) — config plumbing + tracking still
+    converges."""
+    from tests.test_filter import _simulate
+
+    poses = _circle(40)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = _cfg(initial_pose=tuple(map(float, poses[0])))
+    staged = make_staged_model(cfg, house_map, tracking_capacity=1024,
+                               tracking_window_cells=48)
+    assert staged.small_config.corr_window_cells == 48
+    out = run_staged(staged, staged.init(jax.random.PRNGKey(3)), scans,
+                     angles, deltas, chunk=8)
+    est = np.asarray(out.infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert out.modes[-1] == 1, out.modes
+    assert np.mean(errs[-8:]) < 0.4, errs[-8:]
+    # the tracking window only shrinks; unwindowed configs reject it
+    with pytest.raises(ValueError, match="only shrinks"):
+        make_staged_model(cfg, house_map, tracking_capacity=1024,
+                          tracking_window_cells=104)
+    with pytest.raises(ValueError, match="windowed"):
+        make_staged_model(_cfg(initial_pose=(0.0, 0.0, 0.0),
+                               corr_window_cells=0), house_map,
+                          tracking_window_cells=48)
+
+
 def test_staged_global_localization_windowed(house_map):
     """Uniform-init global localization with the WINDOWED flagship config
     through the staged runner: the big (full-field) program resolves the
