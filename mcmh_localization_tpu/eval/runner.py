@@ -113,31 +113,54 @@ def _run_with_frames(bag: Bag, config: FilterConfig, grid_map, key, args):
     amcmh_localizer.py:538-581): per-scan particle cloud + estimate trail
     + ground truth, written to --save-frames/frame_*.png and assembled
     into run.gif.  Slower than the scanned run (one dispatch per scan +
-    host-side rendering) — a viewing mode, not a benchmark."""
+    host-side rendering) — a viewing mode, not a benchmark.
+
+    With --staged the loop runs through OnlineLocalizer's staged mode
+    (per-scan program switching + the frame hook), so the recorded
+    animation shows the BIG<->SMALL hand-offs live."""
     import time as _time
 
     from mcmh_localization_tpu.viz import FrameRecorder
 
-    model = make_model(config, grid_map)
-    state = model.init(key)
-    deltas = odometry_deltas(bag.odom)
     rec = FrameRecorder(
         grid_map, args.save_frames, every=args.frame_every, gt=bag.gt
     )
     est = np.zeros((len(bag.times), 3), np.float32)
     infos = []
     angles = np.asarray(bag.angles)
-    t0 = _time.perf_counter()
-    for t in range(len(bag.times)):
-        state, info = model.step(
-            state, np.asarray(bag.ranges[t]), angles, deltas[t]
+    if getattr(args, "staged", False):
+        from mcmh_localization_tpu.filter.online import OnlineLocalizer
+
+        loc = OnlineLocalizer(
+            config, grid_map, seed=int(jax.random.key_data(key)[-1]),
+            tracking_ess_threshold=getattr(args, "tracking_ess", None),
+            tracking_theta_bins=getattr(args, "tracking_theta_bins", None),
+            tracking_window_cells=getattr(args, "tracking_window", None),
+            staged=True, frame_recorder=rec,
         )
-        mean = np.asarray(info.estimate.mean)
-        est[t] = mean
-        infos.append(info)
-        rec.update(state.particles, state.weights, estimate=mean,
-                   count=int(state.count))
-    wall = _time.perf_counter() - t0
+        odom = np.asarray(bag.odom)
+        t0 = _time.perf_counter()
+        for t in range(len(bag.times)):
+            loc.on_odom(*odom[t])
+            loc.on_scan(np.asarray(bag.ranges[t]), angles=angles)
+            est[t] = np.asarray(loc.last_info.estimate.mean)
+            infos.append(loc.last_info)
+        wall = _time.perf_counter() - t0
+    else:
+        model = make_model(config, grid_map)
+        state = model.init(key)
+        deltas = odometry_deltas(bag.odom)
+        t0 = _time.perf_counter()
+        for t in range(len(bag.times)):
+            state, info = model.step(
+                state, np.asarray(bag.ranges[t]), angles, deltas[t]
+            )
+            mean = np.asarray(info.estimate.mean)
+            est[t] = mean
+            infos.append(info)
+            rec.update(state.particles, state.weights, estimate=mean,
+                       count=int(state.count))
+        wall = _time.perf_counter() - t0
     gif = rec.to_gif()
     print(f"frames: {len(rec.frames)} -> {args.save_frames}"
           + (f" (animation: {gif})" if gif else ""))

@@ -244,6 +244,35 @@ def test_frame_recorder_live_view(house_map, small_bag, tmp_path):
     assert est.shape == (len(small_bag.times), 3)
 
 
+def test_frame_recorder_staged(house_map, small_bag, tmp_path):
+    """--save-frames + --staged combined: the live view runs through
+    OnlineLocalizer's staged mode (program hand-offs visible in the
+    animation) and still produces frames + GIF."""
+    import argparse
+
+    from mcmh_localization_tpu.eval.runner import _run_with_frames
+
+    cfg = FilterConfig(mode="AMHAMCL", num_particles=2048,
+                       min_particles=100, max_particles=2048,
+                       initialized=True,
+                       initial_pose=tuple(map(float, small_bag.gt[0])),
+                       max_range=small_bag.max_range,
+                       likelihood_impl="corr", corr_window_cells=48,
+                       estimate_mode="cluster")
+    args = argparse.Namespace(save_frames=str(tmp_path / "frames"),
+                              frame_every=4, staged=True,
+                              tracking_ess=0.9, tracking_theta_bins=None,
+                              tracking_window=40)
+    est, infos, wall = _run_with_frames(
+        small_bag, cfg, house_map, jax.random.PRNGKey(0), args)
+    frames = sorted(os.listdir(tmp_path / "frames"))
+    pngs = [f for f in frames if f.endswith(".png")]
+    assert len(pngs) == -(-len(small_bag.times) // 4)
+    assert "run.gif" in frames
+    assert est.shape == (len(small_bag.times), 3)
+    assert np.all(np.isfinite(est))
+
+
 def test_runner_cli_single_staged(tmp_path, capsys):
     """`eval.runner single --staged` end-to-end through the argparse
     surface: the staged two-program path runs, reports the tracking-
