@@ -107,6 +107,42 @@ def _time_step(step, state, ranges_seq, angles, delta):
     return ms
 
 
+def time_fixed_count_step(grid_map, n_particles, **config_kw):
+    """ms/scan for one jitted predict+correct step at a FIXED particle
+    count under the chained-timing protocol (_tracking_scans +
+    _time_step).  Shared by the chip pricing sweeps
+    (scripts/microbench27.py, scripts/microbench28.py) so the timing
+    protocol lives in exactly one place."""
+    import numpy as _np
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.filter.step import (
+        _correct,
+        _predict,
+        _sensor_table,
+    )
+    from __graft_entry__ import _example_inputs
+
+    config = FilterConfig(
+        mode="AMHAMCL", num_particles=n_particles,
+        min_particles=n_particles, max_particles=n_particles,
+        initialized=True, initial_pose=(0.0, 0.0, 0.3), **config_kw,
+    )
+    log_field = _sensor_table(grid_map, config)
+
+    @jax.jit
+    def step(state, ranges, angles, delta):
+        state = _predict(state, delta, grid_map, config)
+        return _correct(state, ranges, angles, grid_map, log_field, config)
+
+    state, _r0, angles, _d0 = _example_inputs(grid_map, config, N_BEAMS)
+    rot = _np.pi / SCAN_LEN
+    delta = jax.numpy.asarray([rot, 0.05, rot], dtype=jax.numpy.float32)
+    ranges_seq = _tracking_scans(
+        grid_map, config, angles, delta, (0.0, 0.0, 0.3))
+    return _time_step(step, state, ranges_seq, angles, delta)
+
+
 def _emit(metric, ms, n_particles, unit="ms/scan"):
     print(
         json.dumps(

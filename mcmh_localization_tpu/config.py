@@ -458,6 +458,16 @@ class FilterConfig:
         for f in list(kwargs):
             if f in int_fields and kwargs[f] is not None:
                 kwargs[f] = int(kwargs[f])
+        # tuple-typed fields (initial_pose / initial_cov) must arrive as
+        # [a, b, c] lists — a scalar or unparsed string would only blow
+        # up much later inside jnp.asarray in model.init
+        for f, t in field_types.items():
+            if f in kwargs and "Tuple" in str(t) and not isinstance(
+                    kwargs[f], tuple):
+                raise ValueError(
+                    f"params key {f!r} needs a [a, b, c] list value, "
+                    f"got {kwargs[f]!r}"
+                )
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -481,6 +491,11 @@ def _parse_flat_yaml(path: str) -> dict:
 def _coerce(val: str):
     if val.startswith(("'", '"')) and val.endswith(("'", '"')):
         return val[1:-1]
+    if val.startswith("[") and val.endswith("]"):
+        inner = val[1:-1].strip()
+        if not inner:
+            return ()
+        return tuple(_coerce(v.strip()) for v in inner.split(","))
     low = val.lower()
     if low in ("true", "yes"):
         return True

@@ -190,6 +190,7 @@ def cmd_single(args):
         from mcmh_localization_tpu.filter.staged import (
             make_staged_model,
             run_staged,
+            warmup_staged,
         )
 
         staged = make_staged_model(
@@ -200,6 +201,10 @@ def cmd_single(args):
         )
         state = staged.init(k_run)
         deltas = odometry_deltas(bag.odom)
+        # compile both programs for every chunk length before the timer
+        # (same rationale as run_filter_on_bag's AOT warmup)
+        warmup_staged(staged, state, np.asarray(bag.ranges),
+                      np.asarray(bag.angles), deltas)
         t0 = time.perf_counter()
         out = run_staged(staged, state, np.asarray(bag.ranges),
                          np.asarray(bag.angles), deltas)

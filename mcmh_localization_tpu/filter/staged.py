@@ -164,6 +164,13 @@ def make_staged_model(
                 "tracking_theta_bins needs a windowed scorer "
                 "(corr_window_cells > 0)"
             )
+        if (config.corr_theta_window_bins
+                and tracking_theta_bins > config.corr_theta_window_bins):
+            raise ValueError(
+                f"tracking_theta_bins {tracking_theta_bins} > the config's "
+                f"corr_theta_window_bins {config.corr_theta_window_bins}: "
+                "the tracking theta window only shrinks"
+            )
         small_kw["corr_theta_window_bins"] = tracking_theta_bins
     if tracking_window_cells is not None:
         if not config.corr_window_cells:
@@ -257,6 +264,29 @@ class StagedRun(NamedTuple):
     infos: object          # stacked StepInfo over all T scans
     modes: np.ndarray      # (T,) 0 = big program, 1 = small program
     switches: int
+
+
+def warmup_staged(model: StagedModel, state: FilterState, ranges_seq,
+                  angles, deltas, chunk: int = 16) -> None:
+    """Populate the jit caches of BOTH programs for every chunk length
+    ``run_staged`` will dispatch (the ``chunk``-scan body and the final
+    remainder), so a timed run measures execution, not XLA compilation —
+    the staged twin of ``run_filter_on_bag``'s AOT warmup (a cold compile
+    on the remote-TPU host is minutes and would be reported as
+    "ms/scan").  Executes one throwaway chunk per (program, length) pair
+    on the real inputs; results are discarded (the caller's ``state`` is
+    immutable)."""
+    ranges_seq = np.asarray(ranges_seq)
+    deltas = np.asarray(deltas)
+    t_total = len(ranges_seq)
+    sizes = {min(chunk, t_total)}
+    if t_total % chunk:
+        sizes.add(t_total % chunk)
+    small_state = shrink_state(state, state_size(model.small_config))
+    for tc in sorted(sizes):
+        for st, m in ((state, model.big), (small_state, model.small)):
+            out_state, _ = m.run(st, ranges_seq[:tc], angles, deltas[:tc])
+            jax.block_until_ready(out_state.particles)
 
 
 def run_staged(

@@ -97,9 +97,15 @@ def main():
     errs = np.hypot(est[:, 0] - gt[:, 0], est[:, 1] - gt[:, 1])
     modes = out.modes
     # escalation latency: first big-program scan at/after the kidnap,
-    # counted from a small-program pre-kidnap state
+    # counted from a small-program pre-kidnap state.  Only meaningful if
+    # the filter actually WAS in the small program when kidnapped — a
+    # slow-converging seed still in the BIG program at scan k would
+    # otherwise report a spurious instant (0-scan) escalation.
     post = modes[k:]
-    esc = int(np.argmax(post == 0)) if (post == 0).any() else -1
+    if modes[k - 1] != 1:
+        esc = None  # no escalation event: still in the big program
+    else:
+        esc = int(np.argmax(post == 0)) if (post == 0).any() else -1
     # re-localization: first post-kidnap scan whose error stays < 0.5 m
     ok = errs[k:] < 0.5
     stays = np.logical_and.accumulate(ok[::-1])[::-1]

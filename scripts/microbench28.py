@@ -25,33 +25,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-import numpy as np
-
 import bench
-from mcmh_localization_tpu.config import FilterConfig
-from mcmh_localization_tpu.filter.step import _correct, _predict, _sensor_table
-from __graft_entry__ import _build_map, _example_inputs
+from __graft_entry__ import _build_map
 
 
-def run_config(grid_map, n_particles, **kw):
-    config = FilterConfig(
-        mode="AMHAMCL", num_particles=n_particles,
-        min_particles=n_particles, max_particles=n_particles,
-        initialized=True, initial_pose=(0.0, 0.0, 0.3), **kw,
-    )
-    log_field = _sensor_table(grid_map, config)
-
-    @jax.jit
-    def step(state, ranges, angles, delta):
-        state = _predict(state, delta, grid_map, config)
-        return _correct(state, ranges, angles, grid_map, log_field, config)
-
-    state, _r0, angles, _d0 = _example_inputs(grid_map, config, bench.N_BEAMS)
-    rot = np.pi / bench.SCAN_LEN
-    delta = jax.numpy.asarray([rot, 0.05, rot], dtype=jax.numpy.float32)
-    ranges_seq = bench._tracking_scans(
-        grid_map, config, angles, delta, (0.0, 0.0, 0.3))
-    return bench._time_step(step, state, ranges_seq, angles, delta)
+run_config = bench.time_fixed_count_step  # shared chained-timing protocol
 
 
 def main():

@@ -79,6 +79,24 @@ def test_from_yaml_extension_keys(tmp_path):
     assert FilterConfig.from_yaml(str(q)).num_particles == 111
 
 
+def test_from_yaml_tuple_fields(tmp_path):
+    """Tuple-typed fields (initial_pose / initial_cov) parse [a, b, c]
+    list syntax; a scalar value for a tuple field raises immediately
+    instead of corrupting the config and blowing up in model.init."""
+    p = tmp_path / "pose.yaml"
+    p.write_text(
+        "initialized: true\ninitial_pose: [1.0, 2.0, 0.5]\n"
+        "initial_cov: [0.1, 0.1, 0.2]\n"
+    )
+    c = FilterConfig.from_yaml(str(p))
+    assert c.initial_pose == (1.0, 2.0, 0.5)
+    assert c.initial_cov == (0.1, 0.1, 0.2)
+    q = tmp_path / "bad.yaml"
+    q.write_text("initial_pose: 1.0\n")
+    with pytest.raises(ValueError, match="initial_pose"):
+        FilterConfig.from_yaml(str(q))
+
+
 def test_from_reference_yaml_if_present():
     path = "/root/reference/app/params/amhmcl.yaml"
     if not os.path.exists(path):

@@ -131,6 +131,12 @@ def test_staged_tracking_theta_bins(house_map):
         make_staged_model(_cfg(initial_pose=(0.0, 0.0, 0.0),
                                corr_window_cells=0), house_map,
                           tracking_theta_bins=10)
+    # the tracking theta window only shrinks (same contract as the
+    # spatial knob): wider-than-global is a config error, not a silent
+    # slowdown
+    with pytest.raises(ValueError, match="only shrinks"):
+        make_staged_model(cfg, house_map, tracking_capacity=1024,
+                          tracking_theta_bins=31)
 
 
 def test_staged_tracking_window_cells(house_map):
