@@ -113,6 +113,7 @@ def time_fixed_count_step(grid_map, n_particles, **config_kw):
     _time_step).  Shared by the chip pricing sweeps
     (scripts/microbench27.py, scripts/microbench28.py) so the timing
     protocol lives in exactly one place."""
+    import jax
     import numpy as _np
 
     from mcmh_localization_tpu.config import FilterConfig

@@ -462,12 +462,17 @@ class FilterConfig:
         # [a, b, c] lists — a scalar or unparsed string would only blow
         # up much later inside jnp.asarray in model.init
         for f, t in field_types.items():
-            if f in kwargs and "Tuple" in str(t) and not isinstance(
-                    kwargs[f], tuple):
-                raise ValueError(
-                    f"params key {f!r} needs a [a, b, c] list value, "
-                    f"got {kwargs[f]!r}"
-                )
+            if f in kwargs and "Tuple" in str(t):
+                v = kwargs[f]
+                if (
+                    not isinstance(v, tuple)
+                    or len(v) != 3
+                    or not all(isinstance(e, (int, float)) for e in v)
+                ):
+                    raise ValueError(
+                        f"params key {f!r} needs a [a, b, c] list of 3 "
+                        f"numbers, got {v!r}"
+                    )
         kwargs.update(overrides)
         return cls(**kwargs)
 

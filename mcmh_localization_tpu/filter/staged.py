@@ -283,6 +283,11 @@ def warmup_staged(model: StagedModel, state: FilterState, ranges_seq,
     if t_total % chunk:
         sizes.add(t_total % chunk)
     small_state = shrink_state(state, state_size(model.small_config))
+    # warm the switch-time dispatch too: the jitted grow_state (and the
+    # device slice ops inside shrink_state) would otherwise pay a remote
+    # compile round trip on the FIRST stage switch inside the timed region
+    jax.block_until_ready(
+        grow_state(small_state, state_size(model.config)).particles)
     for tc in sorted(sizes):
         for st, m in ((state, model.big), (small_state, model.small)):
             out_state, _ = m.run(st, ranges_seq[:tc], angles, deltas[:tc])
