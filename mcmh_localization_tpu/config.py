@@ -109,6 +109,24 @@ class FilterConfig:
     # (e.g. 0.02) skips that work entirely via lax.cond while leaving
     # kidnapped-robot recovery (p_random ~ 0.3-1.0) untouched.
     min_injection_prob: float = 0.0
+    # Injection REFILL (documented deviation; default False = reference
+    # parity): when augmented-MCL injection fires, draw the random block
+    # as p_random * CAPACITY slots instead of p_random * count.  The
+    # reference's kld_sampling_amcl regrows its count toward max after an
+    # injection spreads the cloud (each KLD draw is an independent CDF
+    # sample, so N is unbounded by the previous count,
+    # parallel_utils.py:529-591); this port's systematic KLD strides a
+    # fixed CDF and can only keep n_kept <= count, so without refill the
+    # count is monotone non-increasing and a kidnap that strikes AFTER
+    # tracking has shrunk the count recovers with a fraction of the
+    # capacity it paid for (measured: the 8-island staged dist kidnap at
+    # count 632/3000 locks onto a congruent decoy; with refill it
+    # re-localizes).  Compute cost is ZERO: arrays are static n_max
+    # shapes, count is a traced scalar.  The kept (posterior) block is
+    # unchanged — refill only widens the fresh-uniform block, i.e. pure
+    # extra recovery coverage.  The staged BIG (recovery) program enables
+    # this (filter/staged.py::_staged_configs).
+    injection_refill: bool = False
 
     # --- reference-compatibility quirks (SURVEY.md §7 "Known reference quirks").
     # Each defaults to the *corrected* behavior; set True to bit-follow the
@@ -280,9 +298,48 @@ class FilterConfig:
     #             the highest-weight particle, average particles within
     #             (cluster_radius_xy, cluster_radius_theta) of it.  Converges
     #             to "mean" once the filter is unimodal.
+    # "anchor"  = cluster mean around the HYSTERETIC window anchor
+    #             (refresh_anchor's committed mode) instead of the
+    #             per-scan argmax particle.  With two persistent
+    #             near-symmetric modes (measured: 1M staged kidnap on
+    #             map_house, the old-room decoy holds ~half the mass
+    #             indefinitely), the argmax anchor flips modes on weight
+    #             noise and the published estimate teleports ~6 m every
+    #             few scans; the committed anchor only migrates when a
+    #             challenger definitively out-masses it (see
+    #             anchor_hysteresis), so the estimate stays on the
+    #             committed mode — what a TF re-anchor loop needs.
     estimate_mode: str = "mean"
     cluster_radius_xy: float = 0.5
     cluster_radius_theta: float = 1.0
+    # anchor commitment hysteresis: a DIFFERENT-mode argmax candidate
+    # only steals the window anchor (and the "anchor" estimate) when its
+    # cluster mass exceeds hysteresis * the incumbent's.  1.0 = round-4
+    # behavior (any momentary out-massing flips); ~2.0 keeps the
+    # committed mode through mass-noise flapping between near-symmetric
+    # modes while still yielding to genuine evidence (a real mode shift
+    # doubles its mass within a few resamples).
+    anchor_hysteresis: float = 1.0
+    # EVIDENCE veto on different-mode anchor migration (round-5; no
+    # reference equivalent).  Mass dominance measures basin size +
+    # history, not fit: after a kidnap's injection storm, congruent-fit
+    # decoy basins collect ~95% of the mass by AREA while the truth
+    # cluster — whose every particle OUTSCORES every decoy particle
+    # (measured, 1M kidnap on map_house) — holds ~5% and needs ~100
+    # full-field scans of the ~4%/scan mean-aggregation resampling edge
+    # to win the mass race.  A mass-only adoption rule hands the anchor
+    # to the decoy long before that.  With margin m > 0, a
+    # different-mode candidate must ALSO outscore the incumbent
+    # cluster's best particle by m (in score units: mean-log-likelihood
+    # per beam for score_aggregation="mean" — weights are the softmax of
+    # scores, so the test is w_inc_top < w_cand_top * exp(-m)).  A true
+    # kidnap still migrates immediately: the incumbent's fit collapses
+    # by whole log units.  0.0 disables (mass-only, round-4 parity).
+    # Recommended 0.02 with "mean" aggregation (half the measured
+    # truth-vs-congruent-decoy gap of ~0.038 on map_house).  NOTE: under
+    # the ESS-gate weight carry the proxy includes history, not pure
+    # evidence — acceptable for the committed-unimodal tracking program.
+    anchor_score_margin: float = 0.0
     # --- ESS-gated resampling with weight carry-over (round-4; documented
     # deviation — the reference resamples EVERY scan and recomputes
     # weights from scratch, amcmh_localizer.py:329-335 + :252-273) ---
@@ -352,8 +409,12 @@ class FilterConfig:
                 "smaller window silently disables adaptation while still "
                 "paying the bin-count cost)"
             )
-        if self.estimate_mode not in ("mean", "cluster"):
+        if self.estimate_mode not in ("mean", "cluster", "anchor"):
             raise ValueError(f"unknown estimate_mode {self.estimate_mode!r}")
+        if self.anchor_hysteresis < 1.0:
+            raise ValueError(
+                "anchor_hysteresis must be >= 1.0 (1.0 = no hysteresis)"
+            )
         if self.window_center not in ("anchor", "mean"):
             raise ValueError(f"unknown window_center {self.window_center!r}")
         if self.predict_batching not in ("per_message", "per_scan"):

@@ -172,6 +172,52 @@ def _run_with_frames(bag: Bag, config: FilterConfig, grid_map, key, args):
     return est, stacked, wall
 
 
+def _run_staged_bag(bag, cfg, grid_map, key, args):
+    """Two-program execution (filter/staged.py) over one bag: full-field
+    global / windowed tracking with host hand-off.  Returns
+    (est, infos, wall) like run_filter_on_bag."""
+    from mcmh_localization_tpu.filter.staged import (
+        make_staged_model,
+        run_staged,
+        warmup_staged,
+    )
+
+    staged = make_staged_model(
+        cfg, grid_map,
+        tracking_ess_threshold=getattr(args, "tracking_ess", None),
+        tracking_theta_bins=getattr(args, "tracking_theta_bins", None),
+        tracking_window_cells=getattr(args, "tracking_window", None),
+    )
+    state = staged.init(key)
+    deltas = odometry_deltas(bag.odom)
+    # compile both programs for every chunk length before the timer
+    # (same rationale as run_filter_on_bag's AOT warmup)
+    warmup_staged(staged, state, np.asarray(bag.ranges),
+                  np.asarray(bag.angles), deltas)
+    t0 = time.perf_counter()
+    out = run_staged(staged, state, np.asarray(bag.ranges),
+                     np.asarray(bag.angles), deltas)
+    wall = time.perf_counter() - t0
+    est = np.asarray(out.infos.estimate.mean)
+    print(f"staged: {int((out.modes == 1).sum())}/{len(out.modes)} "
+          f"scans in the tracking program, {out.switches} switches")
+    return est, out.infos, wall
+
+
+def _run_bag(bag, cfg, grid_map, key, args):
+    """Dispatch one run: the staged runner when --staged and the mode is
+    adaptive (staging needs changing counts), else the single-program
+    lax.scan runner."""
+    if getattr(args, "staged", False) and cfg.use_adaptive:
+        try:
+            return _run_staged_bag(bag, cfg, grid_map, key, args)
+        except ValueError as e:
+            # e.g. sweep points too small for a distinct tracking
+            # capacity (cap >= max_particles) — run single-program
+            print(f"staged fallback ({e}); running single-program")
+    return run_filter_on_bag(bag, cfg, grid_map, key)
+
+
 def cmd_single(args):
     grid_map = load_map(args.map)
     key = jax.random.PRNGKey(args.seed)
@@ -185,34 +231,7 @@ def cmd_single(args):
     if getattr(args, "save_frames", None):
         est, infos, wall = _run_with_frames(bag, cfg, grid_map, k_run, args)
     elif getattr(args, "staged", False):
-        # two-program execution (filter/staged.py): full-field global /
-        # windowed tracking with host hand-off
-        from mcmh_localization_tpu.filter.staged import (
-            make_staged_model,
-            run_staged,
-            warmup_staged,
-        )
-
-        staged = make_staged_model(
-            cfg, grid_map,
-            tracking_ess_threshold=getattr(args, "tracking_ess", None),
-            tracking_theta_bins=getattr(args, "tracking_theta_bins", None),
-            tracking_window_cells=getattr(args, "tracking_window", None),
-        )
-        state = staged.init(k_run)
-        deltas = odometry_deltas(bag.odom)
-        # compile both programs for every chunk length before the timer
-        # (same rationale as run_filter_on_bag's AOT warmup)
-        warmup_staged(staged, state, np.asarray(bag.ranges),
-                      np.asarray(bag.angles), deltas)
-        t0 = time.perf_counter()
-        out = run_staged(staged, state, np.asarray(bag.ranges),
-                         np.asarray(bag.angles), deltas)
-        wall = time.perf_counter() - t0
-        infos = out.infos
-        est = np.asarray(infos.estimate.mean)
-        print(f"staged: {int((out.modes == 1).sum())}/{len(out.modes)} "
-              f"scans in the tracking program, {out.switches} switches")
+        est, infos, wall = _run_staged_bag(bag, cfg, grid_map, k_run, args)
     else:
         est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, k_run)
     result = evaluate_run(bag.times, est, bag.gt)
@@ -247,7 +266,7 @@ def cmd_all_modes(args):
             for rep in range(args.repeats):
                 mode_salt = sum(ord(c) for c in mode)  # stable across processes
                 key = jax.random.PRNGKey(args.seed + 1000 * rep + mode_salt)
-                est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, key)
+                est, infos, wall = _run_bag(bag, cfg, grid_map, key, args)
                 result = evaluate_run(bag.times, est, bag.gt)
                 name = f"{scenario}_{mode}_run{rep}"
                 save_results(result, name, args.results_dir)
@@ -272,7 +291,7 @@ def cmd_particle_sweep(args):
                 cfg = _with_init(cfg, args, bag)
                 for rep in range(args.repeats):
                     key = jax.random.PRNGKey(args.seed + 7919 * rep + p)
-                    est, infos, wall = run_filter_on_bag(bag, cfg, grid_map, key)
+                    est, infos, wall = _run_bag(bag, cfg, grid_map, key, args)
                     result = evaluate_run(bag.times, est, bag.gt)
                     name = f"{scenario}_{mode}_{p}p_run{rep}"
                     save_results(result, name, args.results_dir)
@@ -308,25 +327,28 @@ def build_parser():
                  "with a VoxelMap)",
         )
         sp.add_argument("--repeats", type=int, default=1)
+        # staged two-program execution works for every command (the
+        # sweeps silently fall back to the single-program runner on
+        # non-adaptive modes, whose counts never change)
+        sp.add_argument("--staged", action="store_true",
+                        help="two-program execution (filter/staged.py): "
+                             "full-field global / windowed tracking; "
+                             "applies to adaptive modes")
+        sp.add_argument("--tracking-ess", type=float, default=None,
+                        help="with --staged: ESS-gated resampling "
+                             "threshold for the tracking program (e.g. 0.9)")
+        sp.add_argument("--tracking-theta-bins", type=int, default=None,
+                        help="with --staged: narrower corr/beam theta "
+                             "window for the tracking program")
+        sp.add_argument("--tracking-window", type=int, default=None,
+                        help="with --staged: narrower spatial corr/beam "
+                             "window (cells) for the tracking program")
 
     s = sub.add_parser("single", help="one bag x one mode")
     common(s)
     s.add_argument("--mode", default="AMHAMCL", choices=MODES)
     s.add_argument("--scenario", default="square", choices=sorted(SCENARIOS))
     s.add_argument("--result-name", default=None)
-    s.add_argument("--staged", action="store_true",
-                   help="two-program execution (filter/staged.py): "
-                        "full-field global / windowed tracking; needs an "
-                        "adaptive mode")
-    s.add_argument("--tracking-ess", type=float, default=None,
-                   help="with --staged: ESS-gated resampling threshold "
-                        "for the tracking program (e.g. 0.9)")
-    s.add_argument("--tracking-theta-bins", type=int, default=None,
-                   help="with --staged: narrower corr/beam theta window "
-                        "for the tracking program")
-    s.add_argument("--tracking-window", type=int, default=None,
-                   help="with --staged: narrower spatial corr/beam window "
-                        "(cells) for the tracking program")
     s.add_argument("--save-frames", default=None, metavar="DIR",
                    help="live view: write per-scan particle frames + GIF "
                         "(the RViz MarkerArray stream equivalent)")

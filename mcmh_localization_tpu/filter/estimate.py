@@ -69,6 +69,7 @@ def estimate_pose_cluster(
     mask: jnp.ndarray | None = None,
     radius_xy: float = 0.5,
     radius_theta: float = 1.0,
+    anchor: jnp.ndarray | None = None,
 ) -> PoseEstimate:
     """Mode-finding estimate: weighted mean over the top-weight cluster.
 
@@ -79,9 +80,15 @@ def estimate_pose_cluster(
     and the estimate is the weighted mean over that neighborhood only.  For a
     unimodal converged cloud this equals the global mean; non-reference
     extension, enabled with ``FilterConfig.estimate_mode="cluster"``.
+
+    ``anchor``: explicit cluster center — ``estimate_mode="anchor"``
+    passes the hysteretic window anchor so the estimate stays on the
+    COMMITTED mode instead of flipping with the per-scan argmax when two
+    near-symmetric modes hold comparable mass.
     """
     w = jnp.where(mask, weights, 0.0) if mask is not None else weights
-    anchor = particles[jnp.argmax(w)]  # (3,) — one row gather
+    if anchor is None:
+        anchor = particles[jnp.argmax(w)]  # (3,) — one row gather
     dx = particles[:, 0] - anchor[0]
     dy = particles[:, 1] - anchor[1]
     dth = jnp.abs(normalize_angle_about(particles[:, 2], anchor[2]))

@@ -155,20 +155,20 @@ class OnlineLocalizer:
         self.last_info = info
         if self.staged is not None:
             from mcmh_localization_tpu.filter.staged import (
-                grow_state,
+                _handoff_fns,
                 next_stage,
-                shrink_state,
             )
 
+            shrink, grow = _handoff_fns(self.staged)
             nxt = next_stage(
                 self._in_small, info.count, info.p_random,
                 info.anchor_mass, self._cap,
             )
             if nxt and not self._in_small:
-                self.state = shrink_state(self.state, self._cap)
+                self.state = shrink(self.state)
                 self.model = self.staged.small
             elif self._in_small and not nxt:
-                self.state = grow_state(self.state, self._n_big)
+                self.state = grow(self.state)
                 self.model = self.staged.big
             self._in_small = nxt
         est = self.estimate()

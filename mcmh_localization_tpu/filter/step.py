@@ -335,7 +335,32 @@ def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
     same_mode = (d_xy <= config.cluster_radius_xy) & (
         d_th <= config.cluster_radius_theta
     )
-    adopt = same_mode | (m_cand > m_cur)
+    # different-mode migration requires the challenger to out-mass the
+    # incumbent by the commitment hysteresis factor — near-symmetric
+    # persistent modes (~equal mass) otherwise flip the anchor on weight
+    # noise every few scans (config.anchor_hysteresis)
+    migrate = m_cand > config.anchor_hysteresis * m_cur
+    if config.anchor_score_margin > 0.0:
+        # EVIDENCE veto (config.anchor_score_margin): the candidate is
+        # the global top-weight particle; migration additionally
+        # requires it to outscore the incumbent cluster's best particle
+        # by the margin.  weights = softmax(scores), so the score gap is
+        # the log weight ratio.  An empty incumbent cluster (ghost
+        # anchor) has w_inc_top ~ 0 and never vetoes.
+        d2 = (
+            (particles[:, 0] - anchor[0]) ** 2
+            + (particles[:, 1] - anchor[1]) ** 2
+        )
+        inc = (d2 <= config.cluster_radius_xy ** 2) & (
+            jnp.abs(normalize_angle_about(particles[:, 2], anchor[2]))
+            <= config.cluster_radius_theta
+        )
+        w_inc_top = jnp.max(jnp.where(inc, w, 0.0))
+        w_cand_top = w[jnp.argmax(w)]
+        migrate = migrate & (
+            w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
+        )
+    adopt = same_mode | migrate
     return (
         jnp.where(adopt, cand, anchor).astype(jnp.float32),
         jnp.where(adopt, m_cand, m_cur),
@@ -425,8 +450,18 @@ def _resample_kld(key, state: FilterState, grid_map, config: FilterConfig):
     p_random = jnp.where(
         p_random >= config.min_injection_prob, p_random, 0.0
     )
-    n_random = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
-    n_resampled = n - n_random
+    n_drop = (p_random * n.astype(jnp.float32)).astype(jnp.int32)
+    n_resampled = n - n_drop
+    if config.injection_refill:
+        # escalation refill (config.injection_refill): the kept posterior
+        # block is the same n_resampled-target systematic draw, but the
+        # fresh-uniform block scales with CAPACITY, regrowing the count
+        # on a fitness collapse like the reference's unbounded KLD draws
+        # (parallel_utils.py:529-591).  floor() on both terms keeps
+        # n_random + n_kept <= n_max for every n <= n_max.
+        n_random = (p_random * jnp.float32(state.n_max)).astype(jnp.int32)
+    else:
+        n_random = n_drop
 
     samples, n_kept = kld_resample(
         k_kld,
@@ -618,11 +653,15 @@ def _correct(
     state = state.replace(anchor=new_anchor)
 
     # -- estimate BEFORE resampling (:327)
-    if config.estimate_mode == "cluster":
+    if config.estimate_mode in ("cluster", "anchor"):
         est = estimate_pose_cluster(
             state.particles, state.weights, mask,
             radius_xy=config.cluster_radius_xy,
             radius_theta=config.cluster_radius_theta,
+            # "anchor": center on the hysteretic committed anchor
+            # (refreshed just above) instead of the per-scan argmax
+            anchor=(state.anchor if config.estimate_mode == "anchor"
+                    else None),
         )
     else:
         est = estimate_pose(state.particles, state.weights, mask)

@@ -121,11 +121,13 @@ def _global_top_pose(particles, w, axis):
 
 
 def estimate_pose_cluster_dist(
-    particles, weights, mask, axis, radius_xy, radius_theta
+    particles, weights, mask, axis, radius_xy, radius_theta, anchor=None
 ) -> PoseEstimate:
-    """filter/estimate.py::estimate_pose_cluster, global anchor via pmax."""
+    """filter/estimate.py::estimate_pose_cluster, global anchor via pmax;
+    ``anchor`` = explicit center (estimate_mode="anchor", replicated)."""
     w = jnp.where(mask, weights, 0.0)
-    anchor = _global_top_pose(particles, w, axis)
+    if anchor is None:
+        anchor = _global_top_pose(particles, w, axis)
     dx = particles[:, 0] - anchor[0]
     dy = particles[:, 1] - anchor[1]
     dth = jnp.abs(normalize_angle_about(particles[:, 2], anchor[2]))
@@ -480,17 +482,39 @@ def _dist_step(
     same_mode = (d_xy <= config.cluster_radius_xy) & (
         d_th <= config.cluster_radius_theta
     )
-    adopt = same_mode | (m_cand > m_cur)
+    # commitment hysteresis — filter/step.py::refresh_anchor parity
+    mode_migrate = m_cand > config.anchor_hysteresis * m_cur
+    if config.anchor_score_margin > 0.0:
+        # evidence veto (config.anchor_score_margin), pmax'd across
+        # islands — filter/step.py::refresh_anchor parity
+        w_all = jnp.where(mask, state.weights, 0.0)
+        d2 = (
+            (state.particles[:, 0] - state.anchor[0]) ** 2
+            + (state.particles[:, 1] - state.anchor[1]) ** 2
+        )
+        inc = (d2 <= config.cluster_radius_xy ** 2) & (
+            jnp.abs(
+                normalize_angle_about(state.particles[:, 2], state.anchor[2])
+            ) <= config.cluster_radius_theta
+        )
+        w_inc_top = jax.lax.pmax(jnp.max(jnp.where(inc, w_all, 0.0)), axis)
+        w_cand_top = jax.lax.pmax(jnp.max(w_all), axis)
+        mode_migrate = mode_migrate & (
+            w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
+        )
+    adopt = same_mode | mode_migrate
     anchor_mass = jnp.where(adopt, m_cand, m_cur)
     state = state.replace(
         anchor=jnp.where(adopt, cand, state.anchor).astype(jnp.float32)
     )
 
     # ---- estimate (global reductions)
-    if config.estimate_mode == "cluster":
+    if config.estimate_mode in ("cluster", "anchor"):
         est = estimate_pose_cluster_dist(
             state.particles, state.weights, mask, axis,
             config.cluster_radius_xy, config.cluster_radius_theta,
+            anchor=(state.anchor if config.estimate_mode == "anchor"
+                    else None),
         )
     else:
         est = estimate_pose_dist(state.particles, state.weights, mask, axis)
@@ -505,7 +529,16 @@ def _dist_step(
         p_random = jnp.where(
             p_random >= config.min_injection_prob, p_random, 0.0
         )
-        n_random_l = (p_random * count_l.astype(jnp.float32)).astype(jnp.int32)
+        n_drop_l = (p_random * count_l.astype(jnp.float32)).astype(jnp.int32)
+        if config.injection_refill:
+            # escalation refill (config.injection_refill; filter/step.py
+            # ::_resample_kld twin): the fresh-uniform block scales with
+            # the ISLAND capacity so a fitness collapse regrows each
+            # island's count toward nl — recovery coverage the monotone
+            # systematic-KLD count otherwise lacks (see config.py)
+            n_random_l = (p_random * jnp.float32(nl)).astype(jnp.int32)
+        else:
+            n_random_l = n_drop_l
         if config.adaptive_resampler == "kld":
             samples, n_kept = kld_resample(
                 k_rs_l, state.particles, state.weights,
@@ -513,9 +546,17 @@ def _dist_step(
                 min_particles=max(config.min_particles // n_dev, 1),
                 bin_size_xy=config.kld_bin_size_xy,
                 bin_size_theta=config.kld_bin_size_theta,
-                epsilon=config.kld_epsilon,
+                # the Fox bound is a GLOBAL criterion: stop when the
+                # global sample count M = m * n_dev exceeds
+                # chi2(k)/(2 eps), i.e. per-island m > chi2(k)/(2 eps
+                # n_dev) — islands are iid subsamples of one posterior,
+                # so k_island ~= k_global.  An unscaled eps leaves the
+                # bound above the island size nl for moderate k and the
+                # island stop can NEVER fire (measured: the staged dist
+                # count pegged at capacity and never shrank)
+                epsilon=config.kld_epsilon * n_dev,
                 z=config.kld_z,
-                count=count_l - n_random_l,
+                count=count_l - n_drop_l,
                 # per-shard scaling mirrors min_particles // n_dev: an
                 # unscaled global window would exceed the shard size and
                 # silently disable the prefix evaluation.  The clamp keeps
@@ -534,7 +575,7 @@ def _dist_step(
                     else "every_sample"
                 ),
             )
-            n_kept = jnp.minimum(n_kept, count_l - n_random_l)
+            n_kept = jnp.minimum(n_kept, count_l - n_drop_l)
             # all shards adopt the max island count (conservative: never
             # fewer particles than the KLD bound demands anywhere)
             new_count_l = jnp.clip(
@@ -564,7 +605,7 @@ def _dist_step(
                 randoms = init_uniform(k_rand_l, nl, grid_map)
                 slot = jnp.arange(nl)
                 particles = jnp.where(
-                    (slot < count_l - n_random_l)[:, None],
+                    (slot < count_l - n_drop_l)[:, None],
                     state.particles[idx], randoms,
                 )
             else:

@@ -83,7 +83,19 @@ def main():
         min_particles=max(n // 10, 1000), max_particles=n,
         initialized=True, initial_pose=tuple(map(float, gt_a[0])),
         max_range=5.0, likelihood_impl="corr", corr_window_cells=128,
-        corr_theta_window_bins=32, estimate_mode="cluster",
+        corr_theta_window_bins=32,
+        # the post-kidnap injection storm seeds mass by BASIN AREA:
+        # congruent-fit decoy regions collect ~95% of it while the truth
+        # cluster (whose every particle outscores every decoy particle —
+        # measured via the /tmp/kidnap_cloud.npz snapshot protocol)
+        # holds ~5% and wins the mass race only after ~100 full-field
+        # scans at the ~4%/scan mean-aggregation resampling edge.
+        # Commit the anchor with 2x mass hysteresis, publish the
+        # committed mode's cluster mean, and VETO mass-dominant but
+        # evidence-inferior migrations (anchor_score_margin — half the
+        # measured 0.038 truth-vs-decoy mean-log gap).
+        estimate_mode="anchor", anchor_hysteresis=2.0,
+        anchor_score_margin=0.02,
         motion_validity="score", min_injection_prob=0.02,
         alpha_slow=0.05, alpha_fast=0.7,
     )
@@ -130,6 +142,30 @@ def main():
     print("err (every 5th):", np.round(errs[::5], 2).tolist(),
           file=sys.stderr)
     print("modes (every 5th):", modes[::5].tolist(), file=sys.stderr)
+    # mode-competition diagnostics: why/when the committed anchor loses
+    print("anchor_mass (every 5th):",
+          np.round(np.asarray(out.infos.anchor_mass)[::5], 3).tolist(),
+          file=sys.stderr)
+    print("p_random (every 5th):",
+          np.round(np.asarray(out.infos.p_random)[::5], 3).tolist(),
+          file=sys.stderr)
+    print("count (every 5th):",
+          np.asarray(out.infos.count)[::5].tolist(), file=sys.stderr)
+    print("ess_frac (every 5th):",
+          np.round(np.asarray(out.infos.ess)[::5]
+                   / np.maximum(np.asarray(out.infos.count)[::5], 1),
+                   3).tolist(),
+          file=sys.stderr)
+    # final-cloud snapshot (downsampled): where does the winning mode sit?
+    n_keep = int(np.asarray(out.state.count))
+    step_ds = max(n_keep // 20000, 1)
+    np.savez(
+        "/tmp/kidnap_cloud.npz",
+        particles=np.asarray(out.state.particles[:n_keep:step_ds]),
+        weights=np.asarray(out.state.weights[:n_keep:step_ds]),
+        est=est, gt=gt, modes=modes,
+    )
+    print("cloud snapshot -> /tmp/kidnap_cloud.npz", file=sys.stderr)
 
     if len(sys.argv) > 3:
         plot_cycle(sys.argv[3], errs, modes, k, jump, n)

@@ -90,13 +90,11 @@ def test_gate_in_staged_tracking_survives_kidnap(house_map):
         run_staged,
     )
 
+    from tests.test_staged import _circle  # pillar-clear default center
+
     t_a, t_b = 40, 56
-    ts_a = np.linspace(0, 2 * np.pi * t_a / 40, t_a)
-    ts_b = np.linspace(0, 2 * np.pi * t_b / 40, t_b)
-    p_a = np.stack([2.5 + 0.8 * np.cos(ts_a), 2.5 + 0.8 * np.sin(ts_a),
-                    ((ts_a + np.pi / 2 + np.pi) % (2 * np.pi)) - np.pi], 1)
-    p_b = np.stack([-2.5 + 0.8 * np.cos(ts_b), -2.5 + 0.8 * np.sin(ts_b),
-                    ((ts_b + np.pi / 2 + np.pi) % (2 * np.pi)) - np.pi], 1)
+    p_a = _circle(t_a)
+    p_b = _circle(t_b, cx=-2.5, cy=-2.5)
     poses = np.concatenate([p_a, p_b]).astype(np.float32)
     scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
     deltas = np.array(deltas)

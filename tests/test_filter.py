@@ -146,6 +146,41 @@ def test_adaptive_count_shrinks_when_converged(house_map, trajectory_data):
     assert counts[-1] >= 64
 
 
+def test_injection_refill_regrows_count(house_map, trajectory_data):
+    """config.injection_refill: a fitness collapse regrows the KLD count
+    toward capacity via a capacity-scaled fresh-uniform block; without
+    the flag the systematic-KLD count is monotone non-increasing (the
+    documented deviation from the reference's unbounded KLD draws,
+    parallel_utils.py:529-591)."""
+    poses, scans, angles, deltas = trajectory_data
+    base = FilterConfig(
+        mode="AMCL", num_particles=600, min_particles=64, max_particles=600,
+        initialized=True, initial_pose=(1.0, -1.0, np.pi / 2), max_range=5.0,
+        kld_epsilon=0.15, alpha_slow=0.05, alpha_fast=0.7,
+    )
+    for refill in (False, True):
+        cfg = base.replace(injection_refill=refill)
+        model = make_model(cfg, house_map)
+        state = model.init(jax.random.PRNGKey(3))
+        # converge + shrink
+        state, infos = model.run(state, scans[:12], angles, deltas[:12])
+        n_shrunk = int(np.asarray(infos.count)[-1])
+        assert n_shrunk < 600
+        # fake a kidnap: the step refreshes w_fast toward the live w_avg
+        # (alpha_fast=0.7) before resampling, so inflate the sticky
+        # w_slow instead to collapse the w_fast/w_slow ratio
+        state = state.replace(w_slow=10.0 * state.w_slow,
+                              w_fast=jnp.zeros_like(state.w_fast))
+        state, info = model.step(state, scans[12], angles, deltas[12])
+        assert float(info.p_random) > 0.5
+        if refill:
+            # randoms block scaled with capacity -> count regrows
+            assert int(info.count) > n_shrunk, int(info.count)
+        else:
+            # reference-parity monotone count
+            assert int(info.count) <= n_shrunk, int(info.count)
+
+
 def test_step_info_fields(house_map, trajectory_data):
     poses, scans, angles, deltas = trajectory_data
     cfg = FilterConfig(

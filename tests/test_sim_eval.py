@@ -291,3 +291,50 @@ def test_runner_cli_single_staged(tmp_path, capsys):
     assert res.rmse < 0.5, out
     txt = (tmp_path / "staged_cli.txt").read_text()
     assert "RMSE final:" in txt
+
+
+def test_runner_staged_dispatch(house_map, capsys):
+    """--staged now applies to the sweep commands too (VERDICT r4 item
+    2): _run_bag dispatches adaptive modes to the staged runner and
+    falls back (with a note) for non-adaptive modes and for sweep
+    points too small to stage."""
+    import argparse
+
+    import jax
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.eval.runner import _run_bag
+    from mcmh_localization_tpu.sim.simulator import simulate_bag
+    from mcmh_localization_tpu.sim.trajectory import (
+        SCENARIOS,
+        fit_trajectory_to_map,
+    )
+
+    gt = fit_trajectory_to_map(
+        house_map, SCENARIOS["static"](duration=3.0, rate=5.0))
+    bag = simulate_bag(jax.random.PRNGKey(0), house_map, gt, n_beams=60,
+                      max_range=5.0, rate=5.0, name="static")
+    args = argparse.Namespace(staged=True, tracking_ess=None,
+                              tracking_theta_bins=None, tracking_window=None)
+    base = dict(
+        num_particles=900, min_particles=128, max_particles=3000,
+        initialized=True, initial_pose=tuple(map(float, bag.gt[0])),
+        max_range=5.0,
+    )
+    # adaptive -> staged (the tracking-program report prints)
+    _run_bag(bag, FilterConfig(mode="AMHAMCL", **base), house_map,
+             jax.random.PRNGKey(1), args)
+    out = capsys.readouterr().out
+    assert "scans in the tracking program" in out
+    # non-adaptive -> single program silently
+    _run_bag(bag, FilterConfig(mode="MHMCL", **base), house_map,
+             jax.random.PRNGKey(1), args)
+    out = capsys.readouterr().out
+    assert "tracking program" not in out
+    # adaptive but too small to stage -> printed fallback
+    tiny = dict(base, num_particles=250, max_particles=500,
+                min_particles=400)
+    _run_bag(bag, FilterConfig(mode="AMCL", **tiny), house_map,
+             jax.random.PRNGKey(1), args)
+    out = capsys.readouterr().out
+    assert "staged fallback" in out

@@ -165,3 +165,134 @@ def test_windowed_filter_rides_bimodal_start(house_map):
     est = np.asarray(infos.estimate.mean)
     errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
     assert np.mean(errs[-8:]) < 0.5, errs[-8:]
+
+
+def test_anchor_hysteresis_commits_between_symmetric_modes():
+    """Two persistent near-symmetric modes whose masses oscillate around
+    parity (the measured 1M kidnap regime on map_house): without
+    hysteresis the anchor flips mode whenever the challenger momentarily
+    out-masses the incumbent; with anchor_hysteresis=2.0 it stays
+    committed through the oscillation and only migrates on a sustained
+    2x dominance."""
+    import jax.numpy as jnp
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.filter.step import refresh_anchor
+
+    n = 400
+    rng = np.random.default_rng(0)
+    a = np.array([1.0, 1.0, 0.0])
+    b = np.array([6.0, 1.0, 0.0])
+    parts = np.concatenate([
+        a + rng.normal(0, 0.05, (n // 2, 3)),
+        b + rng.normal(0, 0.05, (n // 2, 3)),
+    ]).astype(np.float32)
+    mask = jnp.ones(n, bool)
+
+    def run(hyst, ratios):
+        cfg = FilterConfig(num_particles=n, max_particles=n,
+                           anchor_hysteresis=hyst)
+        anchor = jnp.asarray(a, jnp.float32)  # committed to mode A
+        flips = 0
+        prev_mode_a = True
+        for r in ratios:  # r = mass(B) / mass(A)
+            w = np.ones(n, np.float32)
+            w[n // 2:] = r
+            # argmax lands in the heavier mode
+            w[n // 2:] *= 1.0 + 1e-3 * rng.random(n // 2)
+            w[:n // 2] *= 1.0 + 1e-3 * rng.random(n // 2)
+            w /= w.sum()
+            anchor, _mass = refresh_anchor(
+                jnp.asarray(parts), jnp.asarray(w), anchor, cfg, mask)
+            mode_a = abs(float(anchor[0]) - a[0]) < 1.0
+            flips += int(mode_a != prev_mode_a)
+            prev_mode_a = mode_a
+        return flips, prev_mode_a
+
+    # mass ratio oscillating 0.8..1.3 around parity: no-hysteresis flips
+    # repeatedly, hysteresis holds mode A throughout
+    osc = [0.8, 1.2, 0.9, 1.3, 0.85, 1.25, 0.9, 1.2]
+    flips0, _ = run(1.0, osc)
+    flips2, ended_a = run(2.0, osc)
+    assert flips0 >= 2, flips0
+    assert flips2 == 0
+    assert ended_a
+    # sustained 2.5x dominance DOES migrate the committed anchor
+    _, ended_a2 = run(2.0, [2.5, 2.5])
+    assert not ended_a2
+
+
+def test_estimate_mode_anchor_tracks(house_map):
+    """estimate_mode="anchor" publishes the committed mode's cluster
+    mean and tracks like "cluster" on a unimodal run (converged cloud:
+    anchor == argmax mode)."""
+    import jax
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.filter.step import make_model
+    from tests.test_filter import _simulate
+
+    poses = [np.array([1.0, -1.0, 0.0])]
+    for _ in range(24):
+        p = poses[-1].copy()
+        p[2] = ((p[2] + 0.06 + np.pi) % (2 * np.pi)) - np.pi
+        p[0] += 0.05 * np.cos(p[2])
+        p[1] += 0.05 * np.sin(p[2])
+        poses.append(p)
+    poses = np.asarray(poses, dtype=np.float32)
+    scans, angles, deltas = _simulate(house_map, poses, max_range=5.0)
+    cfg = FilterConfig(
+        mode="AMHAMCL", num_particles=800, min_particles=128,
+        max_particles=800, initialized=True,
+        initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+        estimate_mode="anchor", anchor_hysteresis=2.0,
+    )
+    model = make_model(cfg, house_map)
+    state, infos = model.run(model.init(jax.random.PRNGKey(0)), scans,
+                             angles, deltas)
+    est = np.asarray(infos.estimate.mean)
+    errs = np.hypot(est[:, 0] - poses[:, 0], est[:, 1] - poses[:, 1])
+    assert errs[-1] < 0.3, errs[-5:]
+
+
+def test_anchor_score_margin_vetoes_mass_dominant_decoy():
+    """Evidence veto (anchor_score_margin): a decoy holding 10x the mass
+    but whose best particle scores BELOW the incumbent's best by the
+    margin cannot steal the anchor; collapse the incumbent's fit (true
+    kidnap) and migration fires immediately."""
+    import jax.numpy as jnp
+
+    from mcmh_localization_tpu.config import FilterConfig
+    from mcmh_localization_tpu.filter.step import refresh_anchor
+
+    n = 1000
+    rng = np.random.default_rng(1)
+    a = np.array([1.0, 1.0, 0.0])
+    b = np.array([6.0, 1.0, 0.0])
+    n_a = 50                      # truth: 5% of particles
+    parts = np.concatenate([
+        a + rng.normal(0, 0.05, (n_a, 3)),
+        b + rng.normal(0, 0.05, (n - n_a, 3)),
+    ]).astype(np.float32)
+    mask = jnp.ones(n, bool)
+    cfg = FilterConfig(num_particles=n, max_particles=n,
+                       anchor_hysteresis=2.0, anchor_score_margin=0.02)
+
+    def weights(s_truth, s_decoy):
+        s = np.full(n, s_decoy)
+        s[:n_a] = s_truth
+        s += rng.normal(0, 1e-4, n)
+        w = np.exp(s - s.max())
+        return jnp.asarray((w / w.sum()).astype(np.float32))
+
+    anchor = jnp.asarray(a, jnp.float32)
+    # truth outscores the decoy by the measured ~0.038 gap: despite 19x
+    # mass dominance, the veto holds the anchor on truth
+    for _ in range(5):
+        anchor, _m = refresh_anchor(
+            jnp.asarray(parts), weights(0.046, 0.008), anchor, cfg, mask)
+    assert abs(float(anchor[0]) - a[0]) < 1.0
+    # true kidnap: incumbent fit collapses by whole log units -> migrate
+    anchor, _m = refresh_anchor(
+        jnp.asarray(parts), weights(-2.0, 0.04), anchor, cfg, mask)
+    assert abs(float(anchor[0]) - b[0]) < 1.0
