@@ -13,8 +13,10 @@ compares against the BASELINE.json north-star <2 ms/scan for 1M x 360 on a
 v5e-8, i.e. 125k particles/chip, scaled linearly to each config's particle
 count (>1 = beating the target).
 
-Prints one JSON line per metric; the FIRST line is the headline
-(same metric name lineage as BENCH_r01.json).
+Prints one JSON line per metric; the FIRST line is the headline — since
+round 5 the RECOMMENDED configuration (1M-capacity KLD through the staged
+runner, ESS-gated tracking program; metric name lineage from BENCH_r04's
+staged row).
 """
 
 from __future__ import annotations
@@ -255,7 +257,50 @@ def main():
         min_injection_prob=0.02,
     )
 
-    # headline: flagship tracking config at 100k (FIRST line)
+    # headline (FIRST line): the RECOMMENDED configuration — 1M-capacity
+    # KLD semantics executed by the staged runner (filter/staged.py),
+    # steady-state tracking in the ESS-gated SMALL program.  Promoted to
+    # the headline in round 5 (VERDICT r4 item 2) after the chip-scale
+    # accuracy gate: staged+essgate at the real 1M/131k operating point
+    # matches the exact-scorer reference across 4 scenarios x 3 seeds
+    # (scripts/essgate_chip_sweep.py; RESULTS.md), and the full staged
+    # phase cycle (kidnap escalate + shrink-back) is demo'd 3/3 seeds at
+    # 1M (scripts/kidnap_1m.py).
+    from mcmh_localization_tpu.filter.staged import (
+        make_staged_model, run_staged,
+    )
+
+    cfg_kld = FilterConfig(
+        mode="AMHAMCL", num_particles=1_000_000, min_particles=100_000,
+        max_particles=1_000_000, initialized=True,
+        initial_pose=(0.0, 0.0, 0.3), kld_eval_window=0,
+        coarse_gate_escapees=0, **flagship,
+    )
+    staged = make_staged_model(cfg_kld, grid_map,
+                               tracking_ess_threshold=0.9)
+    state_b = staged.big.init(jax.random.PRNGKey(0))
+    rot_s = np.pi / SCAN_LEN
+    delta_s = jax.numpy.asarray([rot_s, 0.05, rot_s],
+                                dtype=jax.numpy.float32)
+    angles_s = jax.numpy.linspace(-np.pi, np.pi, N_BEAMS,
+                                  dtype=jax.numpy.float32)
+    ranges_seq_s = _tracking_scans(grid_map, cfg_kld, angles_s, delta_s,
+                                   (0.0, 0.0, 0.3))
+    # settle: run the staged runner until it is IN the small program
+    out = run_staged(staged, state_b,
+                     np.tile(np.asarray(ranges_seq_s), (4, 1)), angles_s,
+                     np.tile(np.asarray(delta_s), (4 * SCAN_LEN, 1)),
+                     chunk=SCAN_LEN)
+    assert out.modes[-1] == 1, "staged runner did not settle into tracking"
+    import sys as _s
+    print(f"[bench] staged settle: modes={out.modes.tolist()}",
+          file=_s.stderr)
+    ms_staged = _time_step(staged.small.step, out.state, ranges_seq_s,
+                           angles_s, delta_s)
+    _emit(f"amhamcl_step_ms_1m_kld_staged_tracking_{N_BEAMS}beams_win128",
+          ms_staged, 1_000_000)
+
+    # single-program flagship tracking config at 100k
     ms = run_config(100_000, **flagship)
     _emit(
         f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_win128", ms, 100_000
@@ -291,54 +336,12 @@ def main():
     # prefix-draw evaluation (ops/resampling.py), no one-sided deviation.
     # NOTE: this row times the SINGLE-program adaptive path (1M-slot
     # arrays at ~100k active); the staged runner's steady state is the
-    # row after it (filter/staged.py — the shipped way to run 1M KLD).
+    # HEADLINE row (filter/staged.py — the shipped way to run 1M KLD).
     ms_kld = run_config(1_000_000, min_particles_override=100_000,
                         kld_eval_window=0, coarse_gate_escapees=0,
                         **flagship)
     _emit(f"amhamcl_step_ms_1m_kld_adaptive_{N_BEAMS}beams_win128", ms_kld,
           1_000_000)
-
-    # STAGED 1M-KLD steady-state tracking (filter/staged.py): after KLD
-    # settles at min=100k, the runner hands the prefix-packed state to the
-    # SMALL compiled program (1.3x min capacity, windowed scorer, ESS-gated
-    # resampling at 0.9); kidnap/global phases escalate back to the 1M
-    # full-field program (tested: tests/test_staged.py, test_ess_gate.py).
-    # This row times the small program the runner actually executes in
-    # steady state, with the count KLD settles to; vs_baseline stays
-    # against the 1M north-star because the pipeline serves 1M-capacity
-    # KLD semantics (VERDICT r3 item 2's deliverable).
-    from mcmh_localization_tpu.filter.staged import (
-        make_staged_model, run_staged,
-    )
-
-    cfg_kld = FilterConfig(
-        mode="AMHAMCL", num_particles=1_000_000, min_particles=100_000,
-        max_particles=1_000_000, initialized=True,
-        initial_pose=(0.0, 0.0, 0.3), kld_eval_window=0,
-        coarse_gate_escapees=0, **flagship,
-    )
-    staged = make_staged_model(cfg_kld, grid_map,
-                               tracking_ess_threshold=0.9)
-    state_b = staged.big.init(jax.random.PRNGKey(0))
-    rot = np.pi / SCAN_LEN
-    delta = jax.numpy.asarray([rot, 0.05, rot], dtype=jax.numpy.float32)
-    angles = jax.numpy.linspace(-np.pi, np.pi, N_BEAMS,
-                                dtype=jax.numpy.float32)
-    ranges_seq = _tracking_scans(grid_map, cfg_kld, angles, delta,
-                                 (0.0, 0.0, 0.3))
-    # settle: run the staged runner until it is IN the small program
-    out = run_staged(staged, state_b,
-                     np.tile(np.asarray(ranges_seq), (4, 1)), angles,
-                     np.tile(np.asarray(delta), (4 * SCAN_LEN, 1)),
-                     chunk=SCAN_LEN)
-    assert out.modes[-1] == 1, "staged runner did not settle into tracking"
-    import sys as _s
-    print(f"[bench] staged settle: modes={out.modes.tolist()}",
-          file=_s.stderr)
-    ms_staged = _time_step(staged.small.step, out.state, ranges_seq,
-                           angles, delta)
-    _emit(f"amhamcl_step_ms_1m_kld_staged_tracking_{N_BEAMS}beams_win128",
-          ms_staged, 1_000_000)
 
     # 1M full-population flagship + the ESS resample gate (documented
     # deviation, config.py::resample_ess_threshold): steady-state ESS
@@ -379,17 +382,33 @@ def main():
     #   off the pooled window center; +-16 deg left ~7% of particles
     #   outside the window every scan, forcing the coarse-fallback build
     #   that coarse_gate_escapees exists to skip.
-    # * win 96 (4.8 m), coarse bins 30 (120 % 30 == 0 keeps the rolled
-    #   circulant S build on the gated coarse path too).
-    ms_beam = run_config(
-        100_000, sensor_model="beam", beam_impl="field",
-        beam_table_n_theta=120,
-        corr_window_cells=96, corr_theta_window_bins=24,
-        corr_coarse_n_theta=30,
+    # * round-5 retune (scripts/microbench29.py, 3 repeats/variant):
+    #   96 table bins (3.75 deg rays) + win 64 (3.2 m) measured
+    #   1.452-1.481 vs the old 120t/w96's 1.520-1.544 — one-hot kp and
+    #   window area price in — with BETTER square-scenario RMSE
+    #   (0.011-0.025 vs 0.046-0.062 m, 3 seeds CPU protocol; the row's
+    #   margin was VERDICT r4 item 5).  Coarse bins 24 (96 % 24 == 0).
+    beam_kw = dict(
+        sensor_model="beam", beam_impl="field",
+        beam_table_n_theta=96,
+        corr_window_cells=64, corr_theta_window_bins=24,
+        corr_coarse_n_theta=24,
         motion_validity="score", min_injection_prob=0.02,
     )
+    ms_beam = run_config(100_000, **beam_kw)
     _emit(f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_field",
           ms_beam, 100_000)
+
+    # the beam model under the shipped tracking configuration (ESS-gated
+    # resampling, the staged SMALL program's knob) — the margin row: the
+    # resample block fires every ~3-4 scans, same gating as the corr
+    # essgate rows above
+    ms_beam_gate = run_config(100_000, resample_ess_threshold=0.9,
+                              **beam_kw)
+    _emit(
+        f"amhamcl_step_ms_100k_particles_{N_BEAMS}beams_raycast_field_"
+        "essgate", ms_beam_gate, 100_000,
+    )
 
 
 if __name__ == "__main__":
