@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcmh_localization_tpu.config import FilterConfig
-from mcmh_localization_tpu.filter.estimate import covariance_6x6
 from mcmh_localization_tpu.filter.step import make_model
 from mcmh_localization_tpu.models.motion import compute_motion
 from mcmh_localization_tpu.utils.angles import yaw_from_quaternion
@@ -83,6 +82,7 @@ class OnlineLocalizer:
         # on_scan dispatches ONE predict covering everything since
         self._predicted_from: Optional[np.ndarray] = None
         self.last_info = None
+        self._est_for = self._est_cache = None
         # live map->odom re-anchoring (pose_broadcaster node equivalent);
         # fed by on_odom, emits on every on_scan via .reanchor.latest()
         from mcmh_localization_tpu.viz import TFReanchorer
@@ -160,10 +160,13 @@ class OnlineLocalizer:
             )
 
             shrink, grow = _handoff_fns(self.staged)
-            nxt = next_stage(
-                self._in_small, info.count, info.p_random,
-                info.anchor_mass, self._cap,
+            # ONE batched fetch for the three policy scalars (each
+            # np.asarray inside next_stage would be its own blocking
+            # tunnel round trip)
+            cnt, p_rand, mass = jax.device_get(
+                (info.count, info.p_random, info.anchor_mass)
             )
+            nxt = next_stage(self._in_small, cnt, p_rand, mass, self._cap)
             if nxt and not self._in_small:
                 self.state = shrink(self.state)
                 self.model = self.staged.small
@@ -188,17 +191,36 @@ class OnlineLocalizer:
 
     def estimate(self) -> dict:
         """Latest pose estimate in PoseWithCovarianceStamped-like form
-        (publish_estimate, amcmh_localizer.py:584-623)."""
+        (publish_estimate, amcmh_localizer.py:584-623).
+
+        Cached per step: each ``np.asarray`` of a device array is a
+        blocking host<->device fetch (~100 ms RTT through a remote-TPU
+        tunnel), and on_scan already builds this dict internally — a
+        second call per scan must not pay the fetches again."""
         if self.last_info is None:
             return {}
-        mean = np.asarray(self.last_info.estimate.mean)
+        if self._est_for is self.last_info:
+            return self._est_cache
+        # one batched device_get instead of two sequential fetches, and
+        # the 6x6 ROS packing done host-side on the fetched values
+        # (covariance_6x6 is jnp — calling it here would enqueue a fresh
+        # device op + a third fetch per estimate)
+        mean, cov = jax.device_get(
+            (self.last_info.estimate.mean, self.last_info.estimate.cov)
+        )
         yaw = float(mean[2])
-        return {
+        flat = np.zeros(36, dtype=np.float32)
+        flat[[0, 1, 5, 6, 7, 11, 30, 31, 35]] = np.asarray(
+            cov, dtype=np.float32
+        ).reshape(-1)  # covariance_6x6's ROS layout (amcmh_localizer.py:606-620)
+        est = {
             "position": (float(mean[0]), float(mean[1]), 0.0),
             "orientation": (0.0, 0.0, float(np.sin(yaw / 2)), float(np.cos(yaw / 2))),
-            "covariance": np.asarray(covariance_6x6(self.last_info.estimate.cov)),
+            "covariance": flat,
             "pose3": (float(mean[0]), float(mean[1]), yaw),
         }
+        self._est_for, self._est_cache = self.last_info, est
+        return est
 
     def particles(self) -> tuple[np.ndarray, np.ndarray]:
         """(active particles, weights) for visualization."""
@@ -249,3 +271,4 @@ class OnlineLocalizer:
         self._last_odom = None
         self._predicted_from = None
         self.last_info = None
+        self._est_for = self._est_cache = None
