@@ -281,3 +281,37 @@ def test_online_frame_recorder_hook(house_map, tmp_path):
     assert len(rec.trail) == 5   # estimate recorded every scan
     gif = rec.to_gif()
     assert gif is not None and gif.endswith(".gif")
+
+
+def test_online_estimate_cached_and_packed(house_map):
+    """estimate() returns the per-step cached dict (a second call per
+    scan must not pay device fetches again) with the host-side flat
+    covariance packing matching filter.estimate.covariance_6x6."""
+    from mcmh_localization_tpu.filter.estimate import covariance_6x6
+    from mcmh_localization_tpu.models.sensor import raycast as _rc
+
+    cfg = FilterConfig(
+        mode="MCL", num_particles=200, initialized=True,
+        initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+    )
+    loc = OnlineLocalizer(cfg, house_map, seed=0)
+    angles = jnp.linspace(-np.pi, np.pi, 60)
+    pose = np.array([1.0, -1.0, 0.0])
+    loc.on_odom(*pose)
+    est = loc.on_scan(
+        _rc(jnp.asarray(pose[:2]), pose[2] + angles, house_map, 5.0,
+            hit_unknown=True), angles)
+    assert loc.estimate() is est
+    assert loc.estimate() is est  # stable across repeated calls
+    np.testing.assert_allclose(
+        est["covariance"],
+        np.asarray(covariance_6x6(loc.last_info.estimate.cov)),
+        rtol=1e-6,
+    )
+    # a new scan invalidates the cache
+    loc.on_odom(*(pose + [0.05, 0.0, 0.0]))
+    est2 = loc.on_scan(
+        _rc(jnp.asarray(pose[:2] + [0.05, 0.0]), pose[2] + angles,
+            house_map, 5.0, hit_unknown=True), angles)
+    assert est2 is not est
+    assert loc.estimate() is est2
