@@ -2,7 +2,7 @@
 # TPU-outage watcher: probe the axon tunnel once every ~10 min (single
 # short-lived probe per cycle -- a fast probe loop can wedge the claim,
 # see CLAUDE.md "Round-4 late-session state").  When the tunnel answers,
-# run the pending chip work queue (CLAUDE.md "PENDING CHIP WORK") in
+# run the pending chip work queue (CLAUDE.md round-5 "STILL PENDING") in
 # priority order, logging each step to /tmp/chipwork/.
 set -u
 mkdir -p /tmp/chipwork
@@ -34,10 +34,11 @@ run() {  # run <tag> <timeout_s> <cmd...>
   echo "$(date -u +%H:%M:%S) DONE $tag rc=$?" >> /tmp/chipwork/watch.log
 }
 
-# 1. Full kidnap cycle at 1M through the staged runner (130 s tour).
-run kidnap_seed0 1800 python scripts/kidnap_1m.py 1000000 0 /tmp/chipwork/kidnap_cycle_s0.png
-# 2. Theta-window pricing at the real operating points (flagship switch gate).
-run mb27 1800 python scripts/microbench27.py
-# 3. Spatial-window pricing at the staged SMALL operating point.
-run mb28 1800 python scripts/microbench28.py
+# 1. Real-time duty-cycle demo (VERDICT r4 item 8): 100k single-program
+#    online config, then the recommended 1M staged config, 60 s each.
+run pacing_100k 1200 python scripts/pacing_demo.py 100000 60
+run pacing_1m_staged 1800 python scripts/pacing_demo.py 1000000 60 --staged
+# 2. Full bench refresh after the headline switch (validates every row
+#    prints and the staged settle assert passes on chip).
+run bench 2400 python bench.py
 echo "$(date -u +%H:%M:%S) QUEUE COMPLETE" >> /tmp/chipwork/watch.log
