@@ -34,11 +34,9 @@ run() {  # run <tag> <timeout_s> <cmd...>
   echo "$(date -u +%H:%M:%S) DONE $tag rc=$?" >> /tmp/chipwork/watch.log
 }
 
-# 1. Real-time duty-cycle demo (VERDICT r4 item 8): 100k single-program
-#    online config, then the recommended 1M staged config, 60 s each.
-run pacing_100k 1200 python scripts/pacing_demo.py 100000 60
-run pacing_1m_staged 1800 python scripts/pacing_demo.py 1000000 60 --staged
-# 2. Full bench refresh after the headline switch (validates every row
-#    prints and the staged settle assert passes on chip).
+# Remaining round-5 queue: the full bench refresh (the 22:19 UTC run was
+# killed at session end after 9/10 rows; all printed rows were healthy --
+# /tmp/chipwork/bench.log).  Pacing demos are DONE (rc=0, results in
+# RESULTS.md "Real-time duty cycle").
 run bench 2400 python bench.py
 echo "$(date -u +%H:%M:%S) QUEUE COMPLETE" >> /tmp/chipwork/watch.log
