@@ -105,6 +105,45 @@ class OnlineLocalizer:
         self._last_odom = None
         self._predicted_from = None
 
+    def warmup(self, ranges, angles=None, angle_min=-np.pi, angle_max=np.pi):
+        """Populate the jit caches for EVERY program this localizer can
+        dispatch — outside any timed or real-time region.
+
+        A cold compile on a remote-TPU host is seconds to minutes; under
+        staged execution the SMALL program and the shrink/grow hand-off
+        only compile at the FIRST stage switch, which otherwise lands
+        inside the caller's deadline window (measured: a 17.6 s stall at
+        the head of a 5 Hz pacing run = 88 dropped scan periods,
+        RESULTS.md "Real-time duty cycle").  Runs one throwaway
+        predict+correct per program on a representative scan; the
+        localizer's state, odometry bookkeeping, and estimate cache are
+        untouched.  The online twin of ``filter.staged.warmup_staged``."""
+        ranges = jnp.asarray(ranges, dtype=jnp.float32)
+        if angles is None:
+            angles = jnp.linspace(angle_min, angle_max, ranges.shape[0],
+                                  dtype=jnp.float32)
+        else:
+            angles = jnp.asarray(angles, dtype=jnp.float32)
+        delta = jnp.zeros(3, jnp.float32)
+        if self.staged is None:
+            programs = [(self.model, self.state)]
+        else:
+            from mcmh_localization_tpu.filter.staged import _handoff_fns
+
+            shrink, grow = _handoff_fns(self.staged)
+            big_state = grow(self.state) if self._in_small else self.state
+            small_state = shrink(big_state)
+            # the grow direction too: escalation back to the big program
+            jax.block_until_ready(grow(small_state).particles)
+            programs = [
+                (self.staged.big, big_state),
+                (self.staged.small, small_state),
+            ]
+        for model, st in programs:
+            st = model.predict(st, delta)
+            st, _ = model.correct(st, ranges, angles)
+            jax.block_until_ready(st.particles)
+
     def on_odom(self, x: float, y: float, yaw: float, stamp: float | None = None):
         """Odometry pose update -> motion proposal (odom_callback,
         amcmh_localizer.py:379-408).  First message only seeds last_odom.

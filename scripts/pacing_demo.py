@@ -108,9 +108,14 @@ def main():
         return scans_all[min(int(t_sim * ODOM_HZ), len(gt) - 1)]
 
     # warm the jit caches OUTSIDE the timed window (a cold remote compile
-    # is minutes and every scan would be a miss)
+    # is minutes and every scan would be a miss).  warmup() covers BOTH
+    # staged programs + the hand-off: the first chip run warmed only via
+    # one on_scan (big program), and the first stage switch then paid a
+    # 17.6 s compile stall inside the timed region = all 88 of that run's
+    # deadline misses (RESULTS.md "Real-time duty cycle")
     pose = np.asarray(pose_at(0.0), np.float64)
     loc.on_odom(*pose)
+    loc.warmup(scan_at(0.0), angles)
     loc.on_scan(scan_at(0.0), angles)
 
     t0 = time.perf_counter()

@@ -315,3 +315,37 @@ def test_online_estimate_cached_and_packed(house_map):
             house_map, 5.0, hit_unknown=True), angles)
     assert est2 is not est
     assert loc.estimate() is est2
+
+
+def test_online_warmup_no_mutation(house_map):
+    """warmup() populates the jit caches for BOTH staged programs + the
+    shrink/grow hand-off without touching the localizer's state, odometry
+    bookkeeping, or estimate cache — so a real-time caller can warm
+    outside its deadline window and the FIRST stage switch doesn't pay a
+    cold compile (measured 17.6 s = 88 dropped 5 Hz periods on the chip,
+    RESULTS.md "Real-time duty cycle")."""
+    from mcmh_localization_tpu.models.sensor import raycast as _rc
+
+    angles = jnp.linspace(-np.pi, np.pi, 90)
+    scan = _rc(jnp.asarray([1.0, -1.0]), angles, house_map, 5.0,
+               hit_unknown=True)
+    for staged in (False, True):
+        cfg = FilterConfig(
+            mode="AMHAMCL", num_particles=2000, min_particles=300,
+            max_particles=2000, initialized=True,
+            initial_pose=(1.0, -1.0, 0.0), max_range=5.0,
+            likelihood_impl="corr", corr_n_theta=90, corr_window_cells=96,
+        )
+        loc = OnlineLocalizer(cfg, house_map, seed=0, staged=staged,
+                              tracking_capacity=1024 if staged else None)
+        state_before = loc.state
+        loc.warmup(scan, angles)
+        assert loc.state is state_before  # untouched, not just equal
+        assert loc._last_odom is None and loc.last_info is None
+        if staged:
+            assert not loc._in_small
+            assert loc.state.particles.shape[0] == 2000
+        # the facade still works normally after warming
+        loc.on_odom(1.0, -1.0, 0.0)
+        est = loc.on_scan(scan, angles)
+        assert "pose3" in est
