@@ -340,6 +340,22 @@ class FilterConfig:
     # the ESS-gate weight carry the proxy includes history, not pure
     # evidence — acceptable for the committed-unimodal tracking program.
     anchor_score_margin: float = 0.0
+    # DEBOUNCED commitment (round-5; no reference equivalent): a
+    # different-mode candidate must win the mass-hysteresis + evidence
+    # tests for this many CONSECUTIVE scans before the anchor migrates.
+    # Rationale (measured, 1M staged at 5 Hz wall-clock on map_house —
+    # RESULTS.md "Real-time duty cycle"): a 1-2 scan transient fit
+    # collapse (rate-induced scan/odometry misalignment) spikes
+    # p_random, escalates the staged runner to the full-field program,
+    # and under score_aggregation="sum" ONE scan where the misaligned
+    # truth cluster scores below a near-congruent decoy is enough for
+    # the resampler + single-scan veto to hand the anchor over (2/3
+    # 60 s runs locked onto a 5.5 m decoy; as-fast-as-possible replays
+    # of the same config never do).  A true kidnap sustains the
+    # inversion — it migrates anchor_commit_scans later (at 5 Hz,
+    # commit=5 adds 1.0 s to the measured 2.0-2.6 s reloc).  1 = no
+    # debounce (round-4 behavior).
+    anchor_commit_scans: int = 1
     # --- ESS-gated resampling with weight carry-over (round-4; documented
     # deviation — the reference resamples EVERY scan and recomputes
     # weights from scratch, amcmh_localizer.py:329-335 + :252-273) ---
@@ -414,6 +430,10 @@ class FilterConfig:
         if self.anchor_hysteresis < 1.0:
             raise ValueError(
                 "anchor_hysteresis must be >= 1.0 (1.0 = no hysteresis)"
+            )
+        if self.anchor_commit_scans < 1:
+            raise ValueError(
+                "anchor_commit_scans must be >= 1 (1 = no debounce)"
             )
         if self.window_center not in ("anchor", "mean"):
             raise ValueError(f"unknown window_center {self.window_center!r}")

@@ -33,6 +33,11 @@ class FilterState:
                                  # scan, advanced by each odometry delta —
                                  # the window center under
                                  # config.window_center="anchor"
+    anchor_streak: jnp.ndarray   # () int32 consecutive scans a different-
+                                 # mode candidate has won the migration
+                                 # tests (debounced commitment,
+                                 # config.anchor_commit_scans); 0 between
+                                 # challenges
     key: jax.Array               # PRNG key
 
     @property
@@ -87,5 +92,6 @@ def make_state(
         w_fast=jnp.float32(w_init),
         delta=jnp.zeros(3, dtype=jnp.float32),
         anchor=anchor,
+        anchor_streak=jnp.zeros((), dtype=jnp.int32),
         key=key,
     )

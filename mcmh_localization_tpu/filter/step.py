@@ -304,7 +304,8 @@ def _window_origin(
     return oy0, ox0
 
 
-def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
+def refresh_anchor(particles, weights, anchor, streak, config: FilterConfig,
+                   mask):
     """Window-anchor update, CLUSTER-MASS GATED: the raw argmax pose
     hijacks the window for a scan whenever one lucky coarse-scored
     particle out-scores the tracked cluster (the coarse field is
@@ -316,7 +317,14 @@ def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
     outlier has mass ~ its own weight.  A candidate inside the
     incumbent's cluster radius always adopts (same mode; re-centering
     prevents the deterministically-advanced anchor from accumulating
-    odometry drift).  Cost: one argmax + two masked weighted sums."""
+    odometry drift).  Cost: one argmax + two masked weighted sums.
+
+    ``streak`` (state.anchor_streak) debounces migration: the full
+    different-mode test (mass hysteresis AND evidence veto) must pass
+    config.anchor_commit_scans CONSECUTIVE scans before the anchor
+    moves (see the config.py rationale — measured at-rate transient
+    misalignment flips a single-scan veto).  Returns
+    (anchor, anchor_mass, streak)."""
     from mcmh_localization_tpu.filter.estimate import cluster_mass
     from mcmh_localization_tpu.utils.angles import normalize_angle_about
 
@@ -360,10 +368,18 @@ def refresh_anchor(particles, weights, anchor, config: FilterConfig, mask):
         migrate = migrate & (
             w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
         )
+    # debounced commitment: count consecutive scans the different-mode
+    # challenge wins; migrate only at anchor_commit_scans.  Same-mode
+    # re-centering neither counts nor resets-to-win (K=1 == round-4).
+    challenge = migrate & ~same_mode
+    streak = jnp.where(challenge, streak + 1, 0).astype(jnp.int32)
+    migrate = migrate & (streak >= config.anchor_commit_scans)
     adopt = same_mode | migrate
+    streak = jnp.where(migrate, 0, streak)
     return (
         jnp.where(adopt, cand, anchor).astype(jnp.float32),
         jnp.where(adopt, m_cand, m_cur),
+        streak,
     )
 
 
@@ -647,10 +663,11 @@ def _correct(
 
     # -- window anchor refresh (pre-resample weights identify modes;
     # post-resample they are uniform)
-    new_anchor, anchor_mass = refresh_anchor(
-        state.particles, state.weights, state.anchor, config, mask
+    new_anchor, anchor_mass, new_streak = refresh_anchor(
+        state.particles, state.weights, state.anchor, state.anchor_streak,
+        config, mask
     )
-    state = state.replace(anchor=new_anchor)
+    state = state.replace(anchor=new_anchor, anchor_streak=new_streak)
 
     # -- estimate BEFORE resampling (:327)
     if config.estimate_mode in ("cluster", "anchor"):

@@ -502,10 +502,18 @@ def _dist_step(
         mode_migrate = mode_migrate & (
             w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
         )
+    # debounced commitment (config.anchor_commit_scans) — refresh_anchor
+    # parity; the streak is replicated, so no collective is needed
+    challenge = mode_migrate & ~same_mode
+    streak = jnp.where(
+        challenge, state.anchor_streak + 1, 0
+    ).astype(jnp.int32)
+    mode_migrate = mode_migrate & (streak >= config.anchor_commit_scans)
     adopt = same_mode | mode_migrate
     anchor_mass = jnp.where(adopt, m_cand, m_cur)
     state = state.replace(
-        anchor=jnp.where(adopt, cand, state.anchor).astype(jnp.float32)
+        anchor=jnp.where(adopt, cand, state.anchor).astype(jnp.float32),
+        anchor_streak=jnp.where(mode_migrate, 0, streak),
     )
 
     # ---- estimate (global reductions)
@@ -694,6 +702,7 @@ def make_dist_model(
         w_fast=P(),
         delta=P(),
         anchor=P(),
+        anchor_streak=P(),
         key=P(),
     )
     body = functools.partial(

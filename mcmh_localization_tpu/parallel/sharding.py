@@ -58,6 +58,7 @@ def _state_sharding(mesh: Mesh, axis: str = "data"):
         w_fast=rep,
         delta=rep,
         anchor=rep,
+        anchor_streak=rep,
         key=rep,
     )
 

@@ -25,6 +25,7 @@ _FIELDS = (
     "w_fast",
     "delta",
     "anchor",
+    "anchor_streak",
 )
 
 
@@ -58,6 +59,12 @@ def load_state(path: str) -> FilterState:
                     ),
                     dtype=jnp.float32,
                 )
+            ),
+            # pre-round-5 checkpoints have no streak; 0 = no pending
+            # different-mode challenge, matching make_state
+            anchor_streak=(
+                jnp.asarray(z["anchor_streak"], dtype=jnp.int32)
+                if "anchor_streak" in z else jnp.zeros((), dtype=jnp.int32)
             ),
             key=key,
         )

@@ -73,6 +73,11 @@ def main():
         motion_validity="score", min_injection_prob=0.02,
         estimate_mode="anchor", anchor_hysteresis=2.0,
         anchor_score_margin=0.02,
+        # debounced commitment: at rate, a 1-2 scan scan/odometry
+        # misalignment can invert the single-scan evidence veto during
+        # an escalation and hand the anchor to a congruent decoy
+        # (measured 2/3 60 s chip runs before this knob; see config.py)
+        anchor_commit_scans=5,
     )
     loc = OnlineLocalizer(
         config, grid_map, seed=0, initial_pose=start,
@@ -142,11 +147,29 @@ def main():
             dt = time.perf_counter() - s0
             lat.append(dt)
             n_scans += 1
+            if dt > 1.0:
+                # a stall is ALWAYS worth a line: which scan, how long —
+                # the head-stall-vs-mid-run question (tunnel claim vs
+                # compile vs device) needs the index to be answerable
+                print(f"[pacing] STALL scan={n_scans} t={now - t0:5.1f}s "
+                      f"lat={dt:.2f}s", file=sys.stderr, flush=True)
             if n_scans % 10 == 0:
                 p_now = pose_at(now - t0)
+                # program mode + recovery scalars: the decoy post-mortem
+                # (RESULTS.md duty cycle) needs to see WHEN the staged
+                # runner escalated and what p_random was doing.  last_info
+                # scalars were already fetched by on_scan's staged policy;
+                # this re-fetch is 2 scalars, ~1 RTT per 10 scans.
+                extra = ""
+                if staged:
+                    pr, am = (float(loc.last_info.p_random),
+                              float(loc.last_info.anchor_mass))
+                    extra = (f" prog={'S' if loc._in_small else 'B'}"
+                             f" p_rand={pr:.2f} mass={am:.2f}")
                 print(f"[pacing] t={now - t0:5.1f}s scan={n_scans} "
                       f"lat={dt * 1e3:6.1f}ms err="
-                      f"{np.hypot(est['pose3'][0] - p_now[0], est['pose3'][1] - p_now[1]):.3f}",
+                      f"{np.hypot(est['pose3'][0] - p_now[0], est['pose3'][1] - p_now[1]):.3f}"
+                      + extra,
                       file=sys.stderr, flush=True)
             done_at = time.perf_counter()
             if done_at > next_scan + scan_period:

@@ -71,9 +71,9 @@ def test_refresh_anchor_rejects_lone_outlier():
     cfg = FilterConfig(mode="MCL", num_particles=401)
     mask = jnp.ones(401, bool)
     anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)
-    out, mass = refresh_anchor(
+    out, mass, _streak = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
-        anchor, cfg, mask,
+        anchor, jnp.int32(0), cfg, mask,
     )
     out = np.asarray(out)
     assert 0.0 <= float(mass) <= 1.0 + 1e-6
@@ -89,9 +89,9 @@ def test_refresh_anchor_migrates_to_heavier_mode():
     cfg = FilterConfig(mode="MCL", num_particles=400)
     mask = jnp.ones(400, bool)
     anchor = jnp.asarray([-2.0, -2.0, -1.0], jnp.float32)  # stale mode B
-    out, mass = refresh_anchor(
+    out, mass, _streak = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
-        anchor, cfg, mask,
+        anchor, jnp.int32(0), cfg, mask,
     )
     out = np.asarray(out)
     assert 0.0 <= float(mass) <= 1.0 + 1e-6
@@ -108,9 +108,9 @@ def test_refresh_anchor_recenters_within_mode():
     cfg = FilterConfig(mode="MCL", num_particles=200)
     mask = jnp.ones(200, bool)
     anchor = jnp.asarray([1.1, 0.9, 0.25], jnp.float32)  # drifted, in-cluster
-    out, mass = refresh_anchor(
+    out, mass, _streak = refresh_anchor(
         jnp.asarray(parts), jnp.asarray(w / w.sum(), jnp.float32),
-        anchor, cfg, mask,
+        anchor, jnp.int32(0), cfg, mask,
     )
     out = np.asarray(out)
     assert 0.0 <= float(mass) <= 1.0 + 1e-6
@@ -193,6 +193,7 @@ def test_anchor_hysteresis_commits_between_symmetric_modes():
         cfg = FilterConfig(num_particles=n, max_particles=n,
                            anchor_hysteresis=hyst)
         anchor = jnp.asarray(a, jnp.float32)  # committed to mode A
+        streak = jnp.int32(0)
         flips = 0
         prev_mode_a = True
         for r in ratios:  # r = mass(B) / mass(A)
@@ -202,8 +203,9 @@ def test_anchor_hysteresis_commits_between_symmetric_modes():
             w[n // 2:] *= 1.0 + 1e-3 * rng.random(n // 2)
             w[:n // 2] *= 1.0 + 1e-3 * rng.random(n // 2)
             w /= w.sum()
-            anchor, _mass = refresh_anchor(
-                jnp.asarray(parts), jnp.asarray(w), anchor, cfg, mask)
+            anchor, _mass, streak = refresh_anchor(
+                jnp.asarray(parts), jnp.asarray(w), anchor, streak, cfg,
+                mask)
             mode_a = abs(float(anchor[0]) - a[0]) < 1.0
             flips += int(mode_a != prev_mode_a)
             prev_mode_a = mode_a
@@ -288,11 +290,58 @@ def test_anchor_score_margin_vetoes_mass_dominant_decoy():
     anchor = jnp.asarray(a, jnp.float32)
     # truth outscores the decoy by the measured ~0.038 gap: despite 19x
     # mass dominance, the veto holds the anchor on truth
+    streak = jnp.int32(0)
     for _ in range(5):
-        anchor, _m = refresh_anchor(
-            jnp.asarray(parts), weights(0.046, 0.008), anchor, cfg, mask)
+        anchor, _m, streak = refresh_anchor(
+            jnp.asarray(parts), weights(0.046, 0.008), anchor, streak, cfg,
+            mask)
     assert abs(float(anchor[0]) - a[0]) < 1.0
     # true kidnap: incumbent fit collapses by whole log units -> migrate
-    anchor, _m = refresh_anchor(
-        jnp.asarray(parts), weights(-2.0, 0.04), anchor, cfg, mask)
+    anchor, _m, streak = refresh_anchor(
+        jnp.asarray(parts), weights(-2.0, 0.04), anchor, streak, cfg, mask)
     assert abs(float(anchor[0]) - b[0]) < 1.0
+
+
+def test_refresh_anchor_debounced_commitment():
+    """anchor_commit_scans=K (round-5): a different-mode challenger that
+    wins the mass + evidence tests must do so K CONSECUTIVE scans before
+    the anchor migrates — a 1-2 scan transient inversion (measured:
+    rate-induced scan/odometry misalignment during the at-rate staged 1M
+    runs, RESULTS.md duty cycle) cannot steal a committed anchor, while a
+    sustained one (true kidnap) migrates exactly at scan K."""
+    rng = np.random.default_rng(11)
+    n = 400
+    a = np.array([1.0, 1.0, 0.0])
+    b = np.array([6.0, 1.0, 0.0])
+    parts = jnp.asarray(np.concatenate([
+        a + rng.normal(0, 0.05, (n // 2, 3)),
+        b + rng.normal(0, 0.05, (n // 2, 3)),
+    ]).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    cfg = FilterConfig(num_particles=n, max_particles=n,
+                       anchor_commit_scans=3)
+
+    def weights(sa, sb):
+        s = np.full(n, sa, np.float32)
+        s[n // 2:] = sb
+        s += 1e-3 * rng.random(n).astype(np.float32)
+        w = np.exp(s - s.max())
+        return jnp.asarray((w / w.sum()).astype(np.float32))
+
+    anchor = jnp.asarray(a, jnp.float32)
+    streak = jnp.int32(0)
+    win_b = weights(-2.0, 0.05)   # decoy decisively outscores (kidnap-like)
+    win_a = weights(0.05, -2.0)   # truth wins again (transient over)
+    # 2-scan transient challenge, then truth recovers: no migration ever
+    for w in (win_b, win_b, win_a):
+        anchor, _m, streak = refresh_anchor(parts, w, anchor, streak, cfg,
+                                            mask)
+        assert abs(float(anchor[0]) - a[0]) < 1.0, anchor
+    assert int(streak) == 0  # challenge streak reset by the truth scan
+    # sustained challenge: holds for scans 1-2, migrates exactly at 3
+    for i in range(1, 4):
+        anchor, _m, streak = refresh_anchor(parts, win_b, anchor, streak,
+                                            cfg, mask)
+        on_a = abs(float(anchor[0]) - a[0]) < 1.0
+        assert on_a == (i < 3), (i, anchor)
+    assert int(streak) == 0  # consumed by the migration
