@@ -112,12 +112,17 @@ class OnlineLocalizer:
         A cold compile on a remote-TPU host is seconds to minutes; under
         staged execution the SMALL program and the shrink/grow hand-off
         only compile at the FIRST stage switch, which otherwise lands
-        inside the caller's deadline window (measured: a 17.6 s stall at
-        the head of a 5 Hz pacing run = 88 dropped scan periods,
-        RESULTS.md "Real-time duty cycle").  Runs one throwaway
+        inside the caller's deadline window.  Runs one throwaway
         predict+correct per program on a representative scan; the
         localizer's state, odometry bookkeeping, and estimate cache are
-        untouched.  The online twin of ``filter.staged.warmup_staged``."""
+        untouched.  The online twin of ``filter.staged.warmup_staged``.
+
+        Measured caveat (RESULTS.md "Real-time duty cycle"): through the
+        remote-TPU tunnel a first-scan stall of 2.2-13.2 s persists even
+        fully warmed (claim handshake + occasional remote-compile-cache
+        retry — it shrank from 13-18 s as the persistent cache filled,
+        and is absent on locally-attached devices).  warmup() removes
+        the cold-COMPILE term, which is the part that is minutes."""
         ranges = jnp.asarray(ranges, dtype=jnp.float32)
         if angles is None:
             angles = jnp.linspace(angle_min, angle_max, ranges.shape[0],

@@ -114,10 +114,10 @@ def main():
 
     # warm the jit caches OUTSIDE the timed window (a cold remote compile
     # is minutes and every scan would be a miss).  warmup() covers BOTH
-    # staged programs + the hand-off: the first chip run warmed only via
-    # one on_scan (big program), and the first stage switch then paid a
-    # 17.6 s compile stall inside the timed region = all 88 of that run's
-    # deadline misses (RESULTS.md "Real-time duty cycle")
+    # staged programs + the hand-off.  NOTE a residual first-scan stall
+    # of 2.2-13.2 s remains through the remote tunnel even fully warmed
+    # (claim handshake / compile-cache fetch — RESULTS.md duty cycle);
+    # it is not filter compute and absent on locally-attached devices
     pose = np.asarray(pose_at(0.0), np.float64)
     loc.on_odom(*pose)
     loc.warmup(scan_at(0.0), angles)
