@@ -305,7 +305,7 @@ def _window_origin(
 
 
 def refresh_anchor(particles, weights, anchor, streak, config: FilterConfig,
-                   mask):
+                   mask, score_scale=1.0):
     """Window-anchor update, CLUSTER-MASS GATED: the raw argmax pose
     hijacks the window for a scan whenever one lucky coarse-scored
     particle out-scores the tracked cluster (the coarse field is
@@ -324,7 +324,18 @@ def refresh_anchor(particles, weights, anchor, streak, config: FilterConfig,
     config.anchor_commit_scans CONSECUTIVE scans before the anchor
     moves (see the config.py rationale — measured at-rate transient
     misalignment flips a single-scan veto).  Returns
-    (anchor, anchor_mass, streak)."""
+    (anchor, anchor_mass, streak).
+
+    ``score_scale``: anchor_score_margin is calibrated in PER-BEAM
+    mean-log units, but the log-weight gap this veto tests is in the
+    aggregation's units — under score_aggregation="sum" that is
+    per-beam * n_valid_beams, so an unscaled 0.02 margin is vacuous
+    (0.02 log units against gaps of hundreds) and the veto silently
+    degenerates to mass-only exactly in the staged BIG program where
+    decisive resampling makes it matter (measured: the at-rate decoy
+    captures, RESULTS.md duty cycle).  Callers pass the effective
+    beam count for "sum" (the same normalization the w_avg fitness
+    signal uses above), 1.0 for "mean"."""
     from mcmh_localization_tpu.filter.estimate import cluster_mass
     from mcmh_localization_tpu.utils.angles import normalize_angle_about
 
@@ -366,7 +377,8 @@ def refresh_anchor(particles, weights, anchor, streak, config: FilterConfig,
         w_inc_top = jnp.max(jnp.where(inc, w, 0.0))
         w_cand_top = w[jnp.argmax(w)]
         migrate = migrate & (
-            w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
+            w_inc_top
+            < w_cand_top * jnp.exp(-config.anchor_score_margin * score_scale)
         )
     # debounced commitment: count consecutive scans the different-mode
     # challenge wins; migrate only at anchor_commit_scans.  Same-mode
@@ -663,9 +675,16 @@ def _correct(
 
     # -- window anchor refresh (pre-resample weights identify modes;
     # post-resample they are uniform)
+    if config.score_aggregation == "sum":
+        _sig = ranges[:: config.step] if config.step > 1 else ranges
+        _scale = jnp.maximum(
+            jnp.sum(jnp.isfinite(_sig) & (_sig < config.max_range)), 1
+        ).astype(jnp.float32)
+    else:
+        _scale = 1.0
     new_anchor, anchor_mass, new_streak = refresh_anchor(
         state.particles, state.weights, state.anchor, state.anchor_streak,
-        config, mask
+        config, mask, score_scale=_scale
     )
     state = state.replace(anchor=new_anchor, anchor_streak=new_streak)
 

@@ -499,8 +499,19 @@ def _dist_step(
         )
         w_inc_top = jax.lax.pmax(jnp.max(jnp.where(inc, w_all, 0.0)), axis)
         w_cand_top = jax.lax.pmax(jnp.max(w_all), axis)
+        # margin is in PER-BEAM units; the weight gap is in aggregation
+        # units (filter/step.py::refresh_anchor score_scale) — ranges is
+        # replicated, so the local count is the global one
+        if config.score_aggregation == "sum":
+            _sig = ranges[:: config.step] if config.step > 1 else ranges
+            _scale = jnp.maximum(
+                jnp.sum(jnp.isfinite(_sig) & (_sig < config.max_range)), 1
+            ).astype(jnp.float32)
+        else:
+            _scale = 1.0
         mode_migrate = mode_migrate & (
-            w_inc_top < w_cand_top * jnp.exp(-config.anchor_score_margin)
+            w_inc_top
+            < w_cand_top * jnp.exp(-config.anchor_score_margin * _scale)
         )
     # debounced commitment (config.anchor_commit_scans) — refresh_anchor
     # parity; the streak is replicated, so no collective is needed

@@ -345,3 +345,47 @@ def test_refresh_anchor_debounced_commitment():
         on_a = abs(float(anchor[0]) - a[0]) < 1.0
         assert on_a == (i < 3), (i, anchor)
     assert int(streak) == 0  # consumed by the migration
+
+
+def test_refresh_anchor_veto_scales_with_sum_aggregation():
+    """anchor_score_margin is calibrated per-beam; under
+    score_aggregation="sum" the log-weight gap is per-beam * n_beams, so
+    the veto must compare against margin * score_scale — unscaled, a
+    decoy winning by 0.001/beam over 360 beams (sum gap 0.36 log units)
+    trivially clears a 0.02 margin and the veto degenerates to
+    mass-only (the measured at-rate decoy capture)."""
+    rng = np.random.default_rng(13)
+    n = 400
+    a = np.array([1.0, 1.0, 0.0])
+    b = np.array([6.0, 1.0, 0.0])
+    parts = jnp.asarray(np.concatenate([
+        a + rng.normal(0, 0.05, (n // 2, 3)),
+        b + rng.normal(0, 0.05, (n - n // 2, 3)),
+    ]).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    cfg = FilterConfig(num_particles=n, max_particles=n,
+                       anchor_score_margin=0.02)
+
+    def weights(per_beam_a, per_beam_b, n_beams=360):
+        s = np.full(n, per_beam_a * n_beams, np.float64)
+        s[n // 2:] = per_beam_b * n_beams  # sum-aggregated scores
+        s += 1e-4 * rng.random(n)
+        w = np.exp(s - s.max())
+        return jnp.asarray((w / w.sum()).astype(np.float32))
+
+    anchor = jnp.asarray(a, jnp.float32)
+    # decoy out-masses (mass hysteresis 1.0 passes) and wins by a hair
+    # (+0.001/beam).  Unscaled veto: migrates (documents the failure);
+    # scaled veto: holds.
+    w = weights(0.046, 0.047)
+    out_unscaled, _m, _s = refresh_anchor(parts, w, anchor, jnp.int32(0),
+                                          cfg, mask, score_scale=1.0)
+    assert abs(float(out_unscaled[0]) - b[0]) < 1.0  # the bug, pinned
+    out_scaled, _m, _s = refresh_anchor(parts, w, anchor, jnp.int32(0),
+                                        cfg, mask, score_scale=360.0)
+    assert abs(float(out_scaled[0]) - a[0]) < 1.0  # veto holds
+    # a decisive per-beam gap (true kidnap scale) still migrates scaled
+    out_kidnap, _m, _s = refresh_anchor(parts, weights(0.046, 0.10),
+                                        anchor, jnp.int32(0), cfg, mask,
+                                        score_scale=360.0)
+    assert abs(float(out_kidnap[0]) - b[0]) < 1.0
